@@ -1,0 +1,70 @@
+"""Pooling primitives with exact PyTorch semantics.
+
+- ``adaptive_avg_pool``: ``nn.AdaptiveAvgPool2d(s)`` for the PSP pyramid
+  branches {1,2,3,6} (reference: Testing/model/pspnet/td4_psp18.py:250-253).
+  Torch bins are uneven integer partitions: bin i spans
+  [floor(i*H/s), ceil((i+1)*H/s)). Since s <= 6, we unroll the (at most 36)
+  static slices — every slice is compile-time static, XLA fuses the means.
+- ``grid_subsample``: ``nn.MaxPool2d(kernel_size=1, stride=s)`` — plain
+  grid subsampling of the K/V token field (reference:
+  Testing/model/pspnet/transformer.py:26 stride 4;
+  Training/.../td4_psp/transformer.py:26 stride 3).
+- ``max_pool``: the ResNet stem ``MaxPool2d(3, 2, padding=1)``
+  (reference: Testing/model/pspnet/resnet.py:137).
+
+All ops take NHWC.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_size: int | tuple[int, int]) -> jnp.ndarray:
+    """Exact torch AdaptiveAvgPool2d over NHWC input."""
+    if isinstance(out_size, int):
+        oh = ow = out_size
+    else:
+        oh, ow = out_size
+    n, h, w, c = x.shape
+
+    def bounds(inp, out):
+        starts = [int(np.floor(i * inp / out)) for i in range(out)]
+        ends = [int(np.ceil((i + 1) * inp / out)) for i in range(out)]
+        return starts, ends
+
+    hs, he = bounds(h, oh)
+    ws, we = bounds(w, ow)
+    rows = []
+    for i in range(oh):
+        cols = []
+        for j in range(ow):
+            cell = x[:, hs[i]:he[i], ws[j]:we[j], :]
+            cols.append(jnp.mean(cell, axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # [n, oh, ow, c]
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def grid_subsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """MaxPool2d(kernel_size=1, stride=s): keep every s-th pixel (NHWC)."""
+    if stride == 1:
+        return x
+    return x[:, ::stride, ::stride, :]
+
+
+def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2,
+             padding: int = 1) -> jnp.ndarray:
+    """torch MaxPool2d(window, stride, padding) over NHWC."""
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )

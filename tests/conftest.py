@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU platform.
+
+This exercises the same pjit/mesh/collective code paths as a real TPU
+slice (the reference's multi-GPU DataParallel behavior is validated the
+same way — see SURVEY.md section 4).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# The hosting environment may pin an accelerator platform plugin; the config
+# update (unlike the env var) reliably forces the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.device_count() == 8, jax.devices()
