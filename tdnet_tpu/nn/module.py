@@ -1,0 +1,64 @@
+"""Functional-module conventions.
+
+Modules are (init, apply) function pairs over plain dict pytrees. There
+is no framework: ``init_*`` returns a params dict (including BatchNorm
+running stats), ``apply_*`` takes ``(params, x, ctx)`` and returns
+``(y, updated_params)`` where ``updated_params`` differs from ``params``
+only in BN running stats and only when ``ctx.train``. This keeps every
+transform (vmap over the path axis, grad, jit donation) trivial.
+
+``Ctx`` carries the execution mode: train flag, dropout RNG stream,
+optional named axis for explicit SyncBN under shard_map (under plain
+``jit`` + sharded batch, GSPMD already reduces BN moments globally).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tdnet_tpu.ops import batch_norm
+
+
+@dataclasses.dataclass
+class Ctx:
+    train: bool = False
+    rng: jax.Array | None = None
+    axis_name: str | None = None
+    attn_impl: str = "xla"
+    _n_rng: int = 0
+
+    def next_rng(self):
+        if self.rng is None:
+            raise ValueError("Ctx.rng required for dropout in train mode")
+        key = jax.random.fold_in(self.rng, self._n_rng)
+        self._n_rng += 1
+        return key
+
+    def bn(self, x, p, activation=None):
+        """BatchNorm; returns (y, possibly-updated bn params)."""
+        if self.train:
+            y, new = batch_norm(x, p, train=True, activation=activation,
+                                axis_name=self.axis_name)
+            return y, {**p, **new}
+        return batch_norm(x, p, train=False, activation=activation), p
+
+    def dropout(self, x, rate: float):
+        if not self.train or rate <= 0.0:
+            return x
+        keep = jax.random.bernoulli(self.next_rng(), 1.0 - rate, x.shape)
+        return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+    def dropout2d(self, x, rate: float):
+        """torch Dropout2d: drops whole channels (NHWC -> mask [n,1,1,c])."""
+        if not self.train or rate <= 0.0:
+            return x
+        keep = jax.random.bernoulli(self.next_rng(), 1.0 - rate,
+                                    (x.shape[0], 1, 1, x.shape[-1]))
+        return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def eval_ctx() -> Ctx:
+    return Ctx(train=False)

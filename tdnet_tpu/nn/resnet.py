@@ -1,0 +1,216 @@
+"""Dilated multi-grid ResNet backbones (output stride 8).
+
+Reference: Testing/model/pspnet/resnet.py:114-215 and
+Training/ptsemseg/models/td4_psp/resnet.py (same topology plus an
+``aux`` c3 output). Geometry:
+
+- layer3: stride 1, dilation 2 (first block conv dil 1, rest dil 2)
+- layer4: stride 1, dilation 4 with multi-grid dilations [4, 8, 16]
+  (reference: resnet.py:170-202 ``_make_layer``); without multi-grid the
+  first block uses dil 2, rest dil 4
+- deep_base (resnet50/101/152): 3x 3x3-conv stem to 128ch
+  (resnet.py:122-131); resnet18/34: single 7x7 stem to 64ch
+
+All activations NHWC. apply returns (c3, c4, updated_params).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tdnet_tpu.nn.module import Ctx
+from tdnet_tpu.ops import conv2d, init_batch_norm, init_conv_msra_out, max_pool
+
+_MULTI_DILATIONS = (4, 8, 16)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    block: str                 # 'basic' | 'bottleneck'
+    layers: tuple[int, ...]
+    deep_base: bool = False
+    dilated: bool = True
+    multi_grid: bool = True
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.block == "bottleneck" else 1
+
+    @property
+    def out_channels(self) -> int:
+        return 512 * self.expansion
+
+
+def resnet10() -> ResNetConfig:
+    return ResNetConfig("basic", (1, 1, 1, 1))
+
+
+def resnet18() -> ResNetConfig:
+    return ResNetConfig("basic", (2, 2, 2, 2))
+
+
+def resnet34() -> ResNetConfig:
+    return ResNetConfig("basic", (3, 4, 6, 3))
+
+
+def resnet50() -> ResNetConfig:
+    return ResNetConfig("bottleneck", (3, 4, 6, 3), deep_base=True)
+
+
+def resnet101() -> ResNetConfig:
+    return ResNetConfig("bottleneck", (3, 4, 23, 3), deep_base=True)
+
+
+def resnet152() -> ResNetConfig:
+    return ResNetConfig("bottleneck", (3, 8, 36, 3), deep_base=True)
+
+
+BACKBONES = {
+    "resnet10": resnet10, "resnet18": resnet18, "resnet34": resnet34,
+    "resnet50": resnet50, "resnet101": resnet101, "resnet152": resnet152,
+}
+
+
+def _block_plan(cfg: ResNetConfig):
+    """Per-layer list of per-block (stride, dil, prev_dil, in_ch, mid_ch)."""
+    plan = []
+    inplanes = 128 if cfg.deep_base else 64
+    for li, (planes, blocks) in enumerate(zip((64, 128, 256, 512), cfg.layers)):
+        if cfg.dilated:
+            stride = 1 if li in (2, 3) else (2 if li == 1 else 1)
+            dilation = {0: 1, 1: 1, 2: 2, 3: 4}[li]
+            multi_grid = cfg.multi_grid and li == 3
+        else:
+            stride = 1 if li == 0 else 2
+            dilation = 1
+            multi_grid = False
+        layer = []
+        for bi in range(blocks):
+            if bi == 0:
+                if multi_grid:
+                    d = _MULTI_DILATIONS[0]
+                elif dilation in (1, 2):
+                    d = 1
+                elif dilation == 4:
+                    d = 2
+                else:
+                    raise ValueError(dilation)
+                s = stride
+            else:
+                d = _MULTI_DILATIONS[bi] if multi_grid else dilation
+                s = 1
+            layer.append(dict(stride=s, dil=d, prev_dil=dilation,
+                              in_ch=inplanes, mid_ch=planes))
+            inplanes = planes * cfg.expansion
+        plan.append(layer)
+    return plan
+
+
+def _init_conv_bn(key, kh, kw, cin, cout, dtype):
+    k1, _ = jax.random.split(key)
+    return {**init_conv_msra_out(k1, kh, kw, cin, cout, dtype=dtype),
+            }, init_batch_norm(cout, dtype)
+
+
+def init_resnet(key, cfg: ResNetConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 4096))
+    p: dict = {}
+    if cfg.deep_base:
+        c0, b0 = _init_conv_bn(next(keys), 3, 3, 3, 64, dtype)
+        c1, b1 = _init_conv_bn(next(keys), 3, 3, 64, 64, dtype)
+        c2, _ = _init_conv_bn(next(keys), 3, 3, 64, 128, dtype)
+        p["stem"] = {"conv0": c0, "bn0": b0, "conv1": c1, "bn1": b1, "conv2": c2}
+        p["bn1"] = init_batch_norm(128, dtype)
+    else:
+        c0, _ = _init_conv_bn(next(keys), 7, 7, 3, 64, dtype)
+        p["stem"] = {"conv0": c0}
+        p["bn1"] = init_batch_norm(64, dtype)
+
+    plan = _block_plan(cfg)
+    for li, layer in enumerate(plan):
+        blocks = []
+        for spec in layer:
+            cin, mid = spec["in_ch"], spec["mid_ch"]
+            cout = mid * cfg.expansion
+            b: dict = {}
+            if cfg.block == "basic":
+                b["conv1"], b["bn1"] = _init_conv_bn(next(keys), 3, 3, cin, mid, dtype)
+                b["conv2"], b["bn2"] = _init_conv_bn(next(keys), 3, 3, mid, mid, dtype)
+            else:
+                b["conv1"], b["bn1"] = _init_conv_bn(next(keys), 1, 1, cin, mid, dtype)
+                b["conv2"], b["bn2"] = _init_conv_bn(next(keys), 3, 3, mid, mid, dtype)
+                b["conv3"], b["bn3"] = _init_conv_bn(next(keys), 1, 1, mid, cout, dtype)
+            if spec["stride"] != 1 or cin != cout:
+                dc, db = _init_conv_bn(next(keys), 1, 1, cin, cout, dtype)
+                b["downsample"] = {"conv": dc, "bn": db}
+            blocks.append(b)
+        p[f"layer{li + 1}"] = blocks
+    return p
+
+
+def _apply_basic(b, x, spec, ctx: Ctx):
+    nb = dict(b)
+    out = conv2d(x, b["conv1"]["w"], stride=spec["stride"],
+                 padding=spec["dil"], dilation=spec["dil"])
+    out, nb["bn1"] = ctx.bn(out, b["bn1"], activation="relu")
+    out = conv2d(out, b["conv2"]["w"], padding=spec["prev_dil"],
+                 dilation=spec["prev_dil"])
+    out, nb["bn2"] = ctx.bn(out, b["bn2"])
+    if "downsample" in b:
+        res = conv2d(x, b["downsample"]["conv"]["w"], stride=spec["stride"])
+        res, dbn = ctx.bn(res, b["downsample"]["bn"])
+        nb["downsample"] = {"conv": b["downsample"]["conv"], "bn": dbn}
+    else:
+        res = x
+    return jax.nn.relu(out + res), nb
+
+
+def _apply_bottleneck(b, x, spec, ctx: Ctx):
+    nb = dict(b)
+    out = conv2d(x, b["conv1"]["w"])
+    out, nb["bn1"] = ctx.bn(out, b["bn1"], activation="relu")
+    out = conv2d(out, b["conv2"]["w"], stride=spec["stride"],
+                 padding=spec["dil"], dilation=spec["dil"])
+    out, nb["bn2"] = ctx.bn(out, b["bn2"], activation="relu")
+    out = conv2d(out, b["conv3"]["w"])
+    out, nb["bn3"] = ctx.bn(out, b["bn3"])
+    if "downsample" in b:
+        res = conv2d(x, b["downsample"]["conv"]["w"], stride=spec["stride"])
+        res, dbn = ctx.bn(res, b["downsample"]["bn"])
+        nb["downsample"] = {"conv": b["downsample"]["conv"], "bn": dbn}
+    else:
+        res = x
+    return jax.nn.relu(out + res), nb
+
+
+def apply_resnet(params: dict, x: jnp.ndarray, cfg: ResNetConfig, ctx: Ctx):
+    """Returns (c3, c4, updated_params)."""
+    np_ = dict(params)
+    stem = dict(params["stem"])
+    if cfg.deep_base:
+        x = conv2d(x, stem["conv0"]["w"], stride=2, padding=1)
+        x, stem["bn0"] = ctx.bn(x, stem["bn0"], activation="relu")
+        x = conv2d(x, stem["conv1"]["w"], padding=1)
+        x, stem["bn1"] = ctx.bn(x, stem["bn1"], activation="relu")
+        x = conv2d(x, stem["conv2"]["w"], padding=1)
+    else:
+        x = conv2d(x, stem["conv0"]["w"], stride=2, padding=3)
+    np_["stem"] = stem
+    x, np_["bn1"] = ctx.bn(x, params["bn1"], activation="relu")
+    x = max_pool(x, 3, 2, 1)
+
+    plan = _block_plan(cfg)
+    apply_block = _apply_basic if cfg.block == "basic" else _apply_bottleneck
+    feats = []
+    for li in range(4):
+        blocks = []
+        for b, spec in zip(params[f"layer{li + 1}"], plan[li]):
+            x, nb = apply_block(b, x, spec, ctx)
+            blocks.append(nb)
+        np_[f"layer{li + 1}"] = blocks
+        feats.append(x)
+    c3, c4 = feats[2], feats[3]
+    return c3, c4, np_
