@@ -1,0 +1,135 @@
+"""Streaming inference CLI — reference-compatible.
+
+Mirrors ``python Testing/test.py`` (reference Testing/test.py:85-110):
+round-robin streaming over a frame directory, colorized quarter-res PNG
+outputs, per-frame latency print with a 6-frame warmup exclusion.
+
+Extra TPU-era flags: --dtype {float32,bfloat16}, --in_size H W,
+--warm_compile (pre-compile all path variants before timing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Params")
+    parser.add_argument("--img_path", nargs="?", type=str,
+                        default="./data/vid1", help="Path_to_Frame")
+    parser.add_argument("--output_path", nargs="?", type=str,
+                        default="./output/", help="Path_to_Save")
+    parser.add_argument("--_td4_psp18_path", nargs="?", type=str,
+                        default="./checkpoint/td4-psp18.pkl")
+    parser.add_argument("--_td2_psp50_path", nargs="?", type=str,
+                        default="./checkpoint/td2-psp50.pkl")
+    parser.add_argument("--_psp101_path", nargs="?", type=str,
+                        default="./checkpoint/psp101.pkl")
+    parser.add_argument("--gpu", nargs="?", type=str, default="0",
+                        help="accepted for reference compatibility (unused)")
+    parser.add_argument("--model", nargs="?", type=str, default="td4-psp18",
+                        help="model in [td4-psp18, td2-psp50, psp101]")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--in_size", type=int, nargs=2, default=[769, 1537])
+    parser.add_argument("--warm_compile", action="store_true")
+    parser.add_argument("--no_save", action="store_true")
+    args = parser.parse_args(argv)
+
+    from tdnet_tpu.data.streaming import FrameSource, decode_segmap
+    from tdnet_tpu.models import (PSPNetConfig, apply_pspnet, init_pspnet,
+                                  init_tdnet, tdnet_config)
+    from tdnet_tpu.nn.module import Ctx
+    from tdnet_tpu.stream.runtime import LatencyMeter, Streamer
+    from tdnet_tpu.utils.torch_import import (load_torch_state,
+                                              psp_head_from_torch,
+                                              resnet_from_torch,
+                                              strip_module_prefix,
+                                              tdnet_from_torch)
+
+    in_size = tuple(args.in_size)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    vid_seq = FrameSource(args.img_path, in_size)
+    key = jax.random.PRNGKey(0)
+
+    ckpt_path = {"td4-psp18": args._td4_psp18_path,
+                 "td2-psp50": args._td2_psp50_path,
+                 "psp101": args._psp101_path}[args.model]
+
+    if args.model == "psp101":
+        cfg = PSPNetConfig(nclass=19, backbone="resnet101", in_size=in_size)
+        if ckpt_path and os.path.isfile(ckpt_path):
+            print(f"Loading pretrained model from '{ckpt_path}'")
+            sd = strip_module_prefix(load_torch_state(ckpt_path))
+            params = {"backbone": resnet_from_torch(sd, cfg.backbone_cfg,
+                                                    "pretrained."),
+                      "head": psp_head_from_torch(sd, "head.")}
+        else:
+            print(f"No pretrained found at '{ckpt_path}'")
+            params = init_pspnet(key, cfg)
+        if dtype != jnp.float32:
+            params = jax.tree.map(lambda x: x.astype(dtype), params)
+        fwd = jax.jit(lambda p, x: apply_pspnet(p, x, cfg, Ctx(train=False))[0])
+        meter = LatencyMeter(warmup=6)
+
+        def run_frame(i, x):
+            import time
+            x = x.astype(dtype)
+            jax.block_until_ready(x)
+            t0 = time.perf_counter()
+            out = fwd(params, x)
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            meter.add(dt)
+            return out, dt
+    else:
+        cfg = tdnet_config(args.model, nclass=19, in_size=in_size,
+                           streaming=True)
+        params = init_tdnet(key, cfg)
+        if ckpt_path and os.path.isfile(ckpt_path):
+            print(f"Loading pretrained model from '{ckpt_path}'")
+            sd = strip_module_prefix(load_torch_state(ckpt_path))
+            params = tdnet_from_torch(sd, cfg)
+        else:
+            print(f"No pretrained found at '{ckpt_path}'")
+        streamer = Streamer(params, cfg, dtype=dtype)
+        if args.warm_compile:
+            example = jnp.zeros((1, *in_size, 3), dtype)
+            streamer.warm_compile(example)
+            streamer.reset()
+        meter = streamer.meter
+
+        def run_frame(i, x):
+            return streamer.step(jnp.asarray(x))
+
+    os.makedirs(args.output_path, exist_ok=True)
+    import imageio.v2 as imageio
+
+    for i, (x, img_name, folder, ori_size) in enumerate(vid_seq):
+        out, dt = run_frame(i, jnp.asarray(x))
+        pred = np.asarray(jnp.argmax(out[0], axis=-1)).astype(np.uint8)
+        if not args.no_save:
+            import cv2
+            small = cv2.resize(pred, (in_size[1] // 4, in_size[0] // 4),
+                               interpolation=cv2.INTER_NEAREST)
+            decoded = decode_segmap(small)
+            save_dir = os.path.join(args.output_path, folder)
+            os.makedirs(save_dir, exist_ok=True)
+            imageio.imwrite(os.path.join(save_dir, img_name), decoded)
+        print(" Frame {0:2d}   RunningTime/Latency={1:3.5f} s".format(i + 1, dt))
+
+    print("---------------------")
+    print(" Model: {0:s}".format(args.model))
+    print(" Average  RunningTime/Latency={0:3.5f} s  ({1:.1f} FPS)".format(
+        meter.avg, meter.fps))
+    print("---------------------")
+
+
+if __name__ == "__main__":
+    main()

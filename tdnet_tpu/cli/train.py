@@ -1,0 +1,180 @@
+"""Training CLI — reference-compatible.
+
+``python -m tdnet_tpu.cli.train --config configs/td4_psp18_cityscapes.yml``
+mirrors Training/train.py: seeded iteration-driven loop, loss computed
+in-graph, periodic validation with best-mIoU checkpointing, run dir
+``runs/<cfg>/<id>`` with a config copy and file logger.
+
+TPU replacements: GSPMD jit over a (data, path) mesh instead of
+DataParallel; SyncBN via sharded-batch moments; teacher + student
+bootstrapped from the same torch checkpoints via channel surgery.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
+          path_parallel: int | None = None):
+    from tdnet_tpu.data.augment import get_composed_augmentations
+    from tdnet_tpu.data.cityscapes import ClipBatcher
+    from tdnet_tpu.data import get_loader
+    from tdnet_tpu.models import init_tdnet, init_teacher
+    from tdnet_tpu.parallel.mesh import make_mesh, train_shardings
+    from tdnet_tpu.train.metrics import AverageMeter, RunningScore
+    from tdnet_tpu.train.trainer import (make_eval_step, make_train_state,
+                                         make_train_step)
+    from tdnet_tpu.utils import checkpoint as ckpt
+    from tdnet_tpu.utils.config import (loss_fn_from_yaml,
+                                        model_config_from_yaml,
+                                        opt_kwargs_from_yaml,
+                                        teacher_config_from_yaml)
+    from tdnet_tpu.utils.surgery import (student_bootstrap_from_psp_checkpoint,
+                                         teacher_from_psp_checkpoint)
+    from tdnet_tpu.utils.torch_import import load_torch_state
+    import os
+
+    seed = 11733  # reference train.py:35
+    np.random.seed(seed)
+    random.seed(seed)
+
+    path_n = cfg["model"]["path_num"]
+    t_aug = get_composed_augmentations(
+        cfg["training"].get("train_augmentations"), seed=seed)
+    v_aug = get_composed_augmentations(
+        cfg["validating"].get("val_augmentations"), seed=seed)
+
+    loader_cls = get_loader(cfg["data"]["dataset"])
+    data_path = cfg["data"]["path"]
+    t_ds = loader_cls(data_path, split=cfg["data"]["train_split"],
+                      augmentations=t_aug, path_num=path_n, seed=seed)
+    v_ds = loader_cls(data_path, split=cfg["data"]["val_split"],
+                      augmentations=v_aug, path_num=path_n, seed=seed)
+    batcher = ClipBatcher(t_ds, cfg["training"]["batch_size"], shuffle=True,
+                          drop_last=True,
+                          num_workers=cfg["training"]["n_workers"],
+                          seed=seed, infinite=True)
+    v_batcher = ClipBatcher(v_ds, cfg["validating"]["batch_size"],
+                            shuffle=False, drop_last=False,
+                            num_workers=cfg["validating"]["n_workers"])
+
+    n_dev = jax.device_count()
+    mesh = make_mesh(path_parallel=path_parallel or 1)
+    logger.info(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
+
+    mcfg = model_config_from_yaml(cfg, nclass=t_ds.n_classes, streaming=False)
+    tcfg = teacher_config_from_yaml(cfg, nclass=t_ds.n_classes)
+    loss_fn = loss_fn_from_yaml(cfg, n_devices=n_dev)
+    opt_kwargs = opt_kwargs_from_yaml(cfg)
+    max_iter = int(cfg["training"]["train_iters"])
+
+    params = init_tdnet(jax.random.PRNGKey(seed), mcfg)
+    resume = cfg["training"].get("resume")
+    if resume and os.path.isfile(resume):
+        logger.info(f"Initializing sub networks with pretrained '{resume}'")
+        params = student_bootstrap_from_psp_checkpoint(
+            load_torch_state(resume), mcfg, params)
+    else:
+        logger.info(f"No pretrained found at '{resume}'")
+
+    teacher_params = None
+    if tcfg is not None:
+        tpath = cfg["teacher"].get("teacher_model")
+        if tpath and os.path.isfile(tpath):
+            logger.info(f"Initializing Teacher with pretrained '{tpath}'")
+            teacher_params = teacher_from_psp_checkpoint(
+                load_torch_state(tpath), tcfg)
+        else:
+            logger.info(f"No teacher pretrained found at '{tpath}' — "
+                        "using random frozen teacher")
+            teacher_params = init_teacher(jax.random.PRNGKey(seed + 1), tcfg)
+
+    state = make_train_state(jax.random.PRNGKey(seed), mcfg, mesh,
+                             max_iter=max_iter, opt_kwargs=opt_kwargs,
+                             params=params)
+    step = make_train_step(mcfg, mesh, teacher_cfg=tcfg, max_iter=max_iter,
+                           loss_fn=loss_fn, opt_kwargs=opt_kwargs)
+    eval_step = make_eval_step(mcfg)
+    sh = train_shardings(mesh)
+
+    running = RunningScore(t_ds.n_classes)
+    time_meter = AverageMeter()
+    best_iou = 0.0
+    cnt_iter = 0
+    stop_at = min(max_iter, max_steps or max_iter)
+
+    for frames, labels in batcher:
+        cnt_iter += 1
+        frames = jax.device_put(jnp.asarray(frames), sh.frames)
+        labels = jax.device_put(jnp.asarray(labels), sh.labels)
+        t0 = time.time()
+        state, metrics = step(state, frames, labels,
+                              jnp.int32(cnt_iter % path_n), teacher_params)
+        jax.block_until_ready(metrics["loss"])
+        time_meter.update(time.time() - t0)
+
+        if (cnt_iter + 1) % cfg["training"]["print_interval"] == 0:
+            msg = ("Iter [{:d}/{:d}]  Loss: {:.4f}  Time/Image: {:.4f}"
+                   .format(cnt_iter + 1, max_iter, float(metrics["loss"]),
+                           time_meter.avg / cfg["training"]["batch_size"]))
+            print(msg)
+            logger.info(msg)
+            time_meter.reset()
+
+        if ((cnt_iter + 1) % cfg["training"]["val_interval"] == 0
+                or (cnt_iter + 1) == max_iter or cnt_iter >= stop_at):
+            for i_val, (vf, vl) in enumerate(v_batcher):
+                pred = eval_step(state["params"], jnp.asarray(vf),
+                                 jnp.int32(i_val % path_n))
+                running.update(jnp.asarray(vl), pred)
+            score, class_iou = running.get_scores()
+            for k, v in score.items():
+                print(k, v)
+                logger.info(f"{k}: {v}")
+            for k, v in class_iou.items():
+                logger.info(f"{k}: {v}")
+            running.reset()
+            if score["Mean IoU : \t"] >= best_iou:
+                best_iou = score["Mean IoU : \t"]
+                path = ckpt.save_best(
+                    logdir, cfg["model"]["arch"], cfg["data"]["dataset"],
+                    step=cnt_iter, params=state["params"], best_iou=best_iou)
+                logger.info(f"saved best checkpoint to {path}")
+
+        if cnt_iter >= stop_at:
+            break
+    return state, best_iou
+
+
+def main(argv=None):
+    from tdnet_tpu.utils.checkpoint import get_logger, make_run_dir
+    from tdnet_tpu.utils.config import load_config
+
+    parser = argparse.ArgumentParser(description="config")
+    parser.add_argument("--config", nargs="?", type=str,
+                        help="Configuration file to use")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="stop early after N steps (smoke runs)")
+    parser.add_argument("--path_parallel", type=int, default=None,
+                        help="shard the subnet axis over this many devices")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+    logdir = make_run_dir(args.config)
+    print(f"RUNDIR: {logdir}")
+    logger = get_logger(logdir)
+    logger.info("Let the games begin")
+    train(cfg, logger, logdir, max_steps=args.max_steps,
+          path_parallel=args.path_parallel)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,9 @@ def grid_subsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
 def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2,
              padding: int = 1) -> jnp.ndarray:
     """torch MaxPool2d(window, stride, padding) over NHWC."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) as init: JAX's reduce_window max VJP rule
+    # requires the identity element to be recognized for differentiation.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, window, window, 1),

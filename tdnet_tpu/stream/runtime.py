@@ -1,0 +1,105 @@
+"""Stateful streaming inference runtime.
+
+Replaces the reference's per-frame Python loop over a stateful nn.Module
+(Testing/test.py:46-74) with:
+
+- per-path parameter trees resident in HBM (no per-frame gathers),
+- one jitted step per path (PSP group slicing is static per path), with
+  the K/V/Q cache pytree donated so it is updated in place,
+- ``block_until_ready``-bracketed latency metering with the reference's
+  6-frame warmup exclusion (test.py:58-59),
+- optional bf16 compute.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdnet_tpu.models.tdnet import (TDNetConfig, init_cache, select_path,
+                                    stream_step)
+from tdnet_tpu.nn.module import Ctx
+
+
+class LatencyMeter:
+    def __init__(self, warmup: int = 6):
+        self.warmup = warmup
+        self.times: list[float] = []
+        self.count = 0
+
+    def add(self, dt: float):
+        if self.count > self.warmup - 1:
+            self.times.append(dt)
+        self.count += 1
+
+    @property
+    def avg(self) -> float:
+        return float(np.mean(self.times)) if self.times else float("nan")
+
+    @property
+    def fps(self) -> float:
+        return 1.0 / self.avg if self.times else float("nan")
+
+
+class Streamer:
+    """Drives a TDNet (or any per-frame model) over a frame stream."""
+
+    def __init__(self, params: dict, cfg: TDNetConfig, batch: int = 1,
+                 dtype=jnp.float32, attn_impl: str = "xla",
+                 donate_cache: bool = True):
+        self.cfg = cfg
+        self.dtype = dtype
+        if dtype != jnp.float32:
+            params = jax.tree.map(lambda x: x.astype(dtype)
+                                  if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                                  params)
+        self.path_params = [
+            jax.device_put(select_path(params["paths"], p))
+            for p in range(cfg.path_num)]
+        self.atn_params = [
+            jax.device_put(select_path(params["atn"], p))
+            for p in range(cfg.path_num)]
+        self.cache = init_cache(cfg, batch, dtype)
+        self.frame_idx = 0
+        self.meter = LatencyMeter()
+
+        def make_step(p):
+            pid = cfg.psp_pid(p)
+
+            def step(pp, ap, cache, img):
+                ctx = Ctx(train=False, attn_impl=attn_impl)
+                return stream_step(pp, ap, cache, img, cfg, pid, ctx)
+
+            return jax.jit(step, donate_argnums=(2,) if donate_cache else ())
+
+        self._steps = [make_step(p) for p in range(cfg.path_num)]
+
+    def reset(self):
+        self.cache = init_cache(self.cfg, self.cache["q"].shape[1], self.dtype)
+        self.frame_idx = 0
+
+    def warm_compile(self, example: jnp.ndarray):
+        """Pre-compile all path variants (reference analog: cudnn.benchmark)."""
+        cache = init_cache(self.cfg, example.shape[0], self.dtype)
+        for p in range(self.cfg.path_num):
+            out, cache = self._steps[p](self.path_params[p],
+                                        self.atn_params[p], cache, example)
+        jax.block_until_ready(out)
+
+    def step(self, img: jnp.ndarray, timed: bool = True):
+        """Run one frame; returns upsampled logits [n, H, W, nclass]."""
+        p = self.frame_idx % self.cfg.path_num
+        img = img.astype(self.dtype)
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        out, self.cache = self._steps[p](self.path_params[p],
+                                         self.atn_params[p], self.cache, img)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        if timed:
+            self.meter.add(dt)
+        self.frame_idx += 1
+        return out, dt

