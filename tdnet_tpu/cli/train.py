@@ -27,7 +27,7 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
     from tdnet_tpu.data.augment import get_composed_augmentations
     from tdnet_tpu.data.cityscapes import ClipBatcher
     from tdnet_tpu.data import get_loader
-    from tdnet_tpu.models import init_tdnet, init_teacher
+    from tdnet_tpu.models import FATDConfig, init_model, init_teacher
     from tdnet_tpu.parallel.mesh import make_mesh, train_shardings
     from tdnet_tpu.train.metrics import AverageMeter, RunningScore
     from tdnet_tpu.train.trainer import (make_eval_step, make_train_state,
@@ -39,7 +39,8 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
                                         teacher_config_from_yaml)
     from tdnet_tpu.utils.surgery import (student_bootstrap_from_psp_checkpoint,
                                          teacher_from_psp_checkpoint)
-    from tdnet_tpu.utils.torch_import import load_torch_state
+    from tdnet_tpu.utils.torch_import import (fanet_bootstrap_from_checkpoint,
+                                              load_torch_state)
     import os
 
     seed = 11733  # reference train.py:35
@@ -66,8 +67,14 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
                             shuffle=False, drop_last=False,
                             num_workers=cfg["validating"]["n_workers"])
 
+    import math
     n_dev = jax.device_count()
-    mesh = make_mesh(path_parallel=path_parallel or 1)
+    pp = path_parallel or 1
+    # data axis must divide the global batch; use as many devices as that
+    # allows (a 2-image batch on an 8-chip mesh -> data=2)
+    usable = max(1, n_dev // pp)
+    data_size = math.gcd(int(cfg["training"]["batch_size"]), usable)
+    mesh = make_mesh(n_devices=data_size * pp, path_parallel=pp)
     logger.info(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
 
     mcfg = model_config_from_yaml(cfg, nclass=t_ds.n_classes, streaming=False)
@@ -76,12 +83,14 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
     opt_kwargs = opt_kwargs_from_yaml(cfg)
     max_iter = int(cfg["training"]["train_iters"])
 
-    params = init_tdnet(jax.random.PRNGKey(seed), mcfg)
+    params = init_model(jax.random.PRNGKey(seed), mcfg)
     resume = cfg["training"].get("resume")
     if resume and os.path.isfile(resume):
         logger.info(f"Initializing sub networks with pretrained '{resume}'")
-        params = student_bootstrap_from_psp_checkpoint(
-            load_torch_state(resume), mcfg, params)
+        bootstrap = (fanet_bootstrap_from_checkpoint
+                     if isinstance(mcfg, FATDConfig)
+                     else student_bootstrap_from_psp_checkpoint)
+        params = bootstrap(load_torch_state(resume), mcfg, params)
     else:
         logger.info(f"No pretrained found at '{resume}'")
 

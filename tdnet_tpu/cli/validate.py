@@ -22,13 +22,15 @@ def validate(cfg: dict, args):
     from tdnet_tpu.data import get_loader
     from tdnet_tpu.data.augment import get_composed_augmentations
     from tdnet_tpu.data.cityscapes import ClipBatcher
-    from tdnet_tpu.models import init_tdnet
+    from tdnet_tpu.models import FATDConfig, init_model
     from tdnet_tpu.train.metrics import RunningScore
     from tdnet_tpu.train.trainer import make_eval_step
     from tdnet_tpu.utils.checkpoint import load_pytree
     from tdnet_tpu.utils.config import model_config_from_yaml
     from tdnet_tpu.utils.surgery import student_bootstrap_from_psp_checkpoint
-    from tdnet_tpu.utils.torch_import import load_torch_state, tdnet_from_torch
+    from tdnet_tpu.utils.torch_import import (fatd_from_torch,
+                                              load_torch_state,
+                                              tdnet_from_torch)
 
     path_n = cfg["model"]["path_num"]
     v_aug = get_composed_augmentations(
@@ -41,13 +43,15 @@ def validate(cfg: dict, args):
     mcfg = model_config_from_yaml(cfg, nclass=v_ds.n_classes,
                                   in_size=in_size, streaming=False)
 
-    params = init_tdnet(jax.random.PRNGKey(0), mcfg)
+    params = init_model(jax.random.PRNGKey(0), mcfg)
+    from_torch = (fatd_from_torch if isinstance(mcfg, FATDConfig)
+                  else tdnet_from_torch)
     resume = cfg["validating"].get("resume")
     if resume and os.path.isfile(resume):
         print(f"Loading '{resume}'")
         if resume.endswith(".pkl") and not args.native:
             try:
-                params = tdnet_from_torch(load_torch_state(resume), mcfg)
+                params = from_torch(load_torch_state(resume), mcfg)
             except Exception:
                 state = load_pytree(resume)
                 params = state.get("model_state", state)

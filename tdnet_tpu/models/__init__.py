@@ -11,8 +11,32 @@ from __future__ import annotations
 from tdnet_tpu.models.tdnet import (TDNetConfig, backbone_feat_hw,
                                     clip_forward, init_cache, init_tdnet,
                                     select_path, stream_step)
+from tdnet_tpu.models.fanet_td import (FATDConfig, fa_clip_forward,
+                                       fa_stream_step, init_fa_cache,
+                                       init_fatd)
 from tdnet_tpu.models.pspnet import PSPNetConfig, apply_pspnet, init_pspnet
 from tdnet_tpu.models.teacher import TeacherConfig, apply_teacher, init_teacher
+
+
+def init_model(key, cfg, dtype=None):
+    """Dispatch on config type (TDNetConfig vs FATDConfig)."""
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float32
+    if isinstance(cfg, FATDConfig):
+        return init_fatd(key, cfg, dtype)
+    return init_tdnet(key, cfg, dtype)
+
+
+def model_clip_forward(cfg):
+    return fa_clip_forward if isinstance(cfg, FATDConfig) else clip_forward
+
+
+def model_stream_step(cfg):
+    return fa_stream_step if isinstance(cfg, FATDConfig) else stream_step
+
+
+def model_init_cache(cfg):
+    return init_fa_cache if isinstance(cfg, FATDConfig) else init_cache
 
 
 def tdnet_config(arch: str, nclass: int = 19,
@@ -25,6 +49,11 @@ def tdnet_config(arch: str, nclass: int = 19,
     before pooling (reference transformer.py variants, SURVEY.md 2.10.5).
     """
     arch = arch.replace("-", "_")
+    if arch == "td2_fa":
+        kw.setdefault("backbone", "resnet18")
+        kw.pop("path_num", None)
+        return FATDConfig(nclass=nclass, in_size=tuple(in_size), path_num=2,
+                          **kw)
     presets = {
         "td4_psp18": dict(backbone="resnet18", path_num=4),
         "td4_psp": dict(backbone="resnet18", path_num=4),

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tdnet_tpu.models import model_init_cache, model_stream_step
 from tdnet_tpu.models.tdnet import (TDNetConfig, init_cache, select_path,
                                     stream_step)
 from tdnet_tpu.nn.module import Ctx
@@ -47,11 +48,13 @@ class LatencyMeter:
 class Streamer:
     """Drives a TDNet (or any per-frame model) over a frame stream."""
 
-    def __init__(self, params: dict, cfg: TDNetConfig, batch: int = 1,
+    def __init__(self, params: dict, cfg, batch: int = 1,
                  dtype=jnp.float32, attn_impl: str = "xla",
                  donate_cache: bool = True):
         self.cfg = cfg
         self.dtype = dtype
+        self._stream_step = model_stream_step(cfg)
+        self._init_cache = model_init_cache(cfg)
         if dtype != jnp.float32:
             params = jax.tree.map(lambda x: x.astype(dtype)
                                   if jnp.issubdtype(x.dtype, jnp.floating) else x,
@@ -62,7 +65,7 @@ class Streamer:
         self.atn_params = [
             jax.device_put(select_path(params["atn"], p))
             for p in range(cfg.path_num)]
-        self.cache = init_cache(cfg, batch, dtype)
+        self.cache = self._init_cache(cfg, batch, dtype)
         self.frame_idx = 0
         self.meter = LatencyMeter()
 
@@ -71,19 +74,20 @@ class Streamer:
 
             def step(pp, ap, cache, img):
                 ctx = Ctx(train=False, attn_impl=attn_impl)
-                return stream_step(pp, ap, cache, img, cfg, pid, ctx)
+                return self._stream_step(pp, ap, cache, img, cfg, pid, ctx)
 
             return jax.jit(step, donate_argnums=(2,) if donate_cache else ())
 
         self._steps = [make_step(p) for p in range(cfg.path_num)]
 
     def reset(self):
-        self.cache = init_cache(self.cfg, self.cache["q"].shape[1], self.dtype)
+        self.cache = self._init_cache(self.cfg, self.cache["q"].shape[1],
+                                      self.dtype)
         self.frame_idx = 0
 
     def warm_compile(self, example: jnp.ndarray):
         """Pre-compile all path variants (reference analog: cudnn.benchmark)."""
-        cache = init_cache(self.cfg, example.shape[0], self.dtype)
+        cache = self._init_cache(self.cfg, example.shape[0], self.dtype)
         for p in range(self.cfg.path_num):
             out, cache = self._steps[p](self.path_params[p],
                                         self.atn_params[p], cache, example)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from tdnet_tpu.models import init_model, model_clip_forward
 from tdnet_tpu.models.tdnet import TDNetConfig, clip_forward, init_tdnet
 from tdnet_tpu.models.teacher import TeacherConfig, apply_teacher
 from tdnet_tpu.nn.module import Ctx
@@ -36,7 +37,7 @@ def make_train_state(key, cfg: TDNetConfig, mesh=None, *, max_iter: int = 40000,
                      params: dict | None = None) -> dict:
     opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
     if params is None:
-        params = init_tdnet(key, cfg)
+        params = init_model(key, cfg)
     if mesh is not None:
         params = shard_params(params, mesh)
     tx, _ = ada_optimizer(params, **opt_kwargs)
@@ -62,9 +63,11 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
     if loss_fn is None:
         loss_fn = lambda lg, lb: cross_entropy(lg, lb, 250)
 
+    fwd = model_clip_forward(cfg)
+
     def loss_of(params, frames, labels, pos_id, rng, teacher_params):
         ctx = Ctx(train=True, rng=rng, axis_name=axis_name)
-        res = clip_forward(params, frames, pos_id, cfg, ctx)
+        res = fwd(params, frames, pos_id, cfg, ctx)
         loss = (loss_fn(res["out"], labels)
                 + 0.5 * loss_fn(res["out_sub"], labels))
         if cfg.aux:
@@ -100,8 +103,10 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
 def make_eval_step(cfg: TDNetConfig):
     """Validation forward (training twin, eval mode): logits for fP."""
 
+    fwd = model_clip_forward(cfg)
+
     def eval_step(params, frames, pos_id):
-        res = clip_forward(params, frames, pos_id, cfg, Ctx(train=False))
+        res = fwd(params, frames, pos_id, cfg, Ctx(train=False))
         return jnp.argmax(res["out"], axis=-1)
 
     return jax.jit(eval_step)

@@ -137,6 +137,94 @@ def psp_head_from_torch(sd: dict, prefix: str) -> dict:
             "out": _conv(sd, prefix + "conv5.5")}
 
 
+def _conv_bn_pair(sd, conv_prefix, bn_prefix):
+    return {"conv": _conv(sd, conv_prefix), "bn": _bn(sd, bn_prefix)}
+
+
+def fanet_resnet_from_torch(sd: dict, cfg, prefix: str = "") -> dict:
+    """FANet standard-stride resnet (td2_fanet/resnet.py naming)."""
+    g = lambda s: prefix + s
+    p = {"stem": _conv_bn_pair(sd, g("conv1"), g("bn1"))}
+    for li in range(4):
+        blocks = []
+        bi = 0
+        while g(f"layer{li + 1}.{bi}.conv1.weight") in sd:
+            bp = g(f"layer{li + 1}.{bi}")
+            b = {"conv1": _conv_bn_pair(sd, bp + ".conv1", bp + ".bn1"),
+                 "conv2": _conv_bn_pair(sd, bp + ".conv2", bp + ".bn2")}
+            if bp + ".conv3.weight" in sd:
+                b["conv3"] = _conv_bn_pair(sd, bp + ".conv3", bp + ".bn3")
+            if bp + ".downsample.0.weight" in sd:
+                b["downsample"] = _conv_bn_pair(sd, bp + ".downsample.0",
+                                                bp + ".downsample.1")
+            blocks.append(b)
+            bi += 1
+        p[f"layer{li + 1}"] = blocks
+    return p
+
+
+def fa_module_from_torch(sd: dict, prefix: str) -> dict:
+    def pair(name):
+        return _conv_bn_pair(sd, f"{prefix}{name}.conv", f"{prefix}{name}.bn")
+    return {k: pair(k) for k in
+            ("w_qs", "w_ks", "w_vs", "latlayer3", "up", "smooth")}
+
+
+def fpn_output_from_torch(sd: dict, prefix: str) -> dict:
+    return {"conv": _conv_bn_pair(sd, prefix + "conv.conv", prefix + "conv.bn"),
+            "conv_out": _conv(sd, prefix + "conv_out")}
+
+
+def fatd_from_torch(sd: dict, cfg) -> dict:
+    """td2_fa state dict (training naming) -> stacked FATD pytree."""
+    import jax
+    sd = strip_module_prefix(sd)
+    subnets = []
+    for p in range(cfg.path_num):
+        i = p + 1
+        subnets.append({
+            "backbone": fanet_resnet_from_torch(sd, cfg.backbone_cfg,
+                                                f"pretrained{i}."),
+            "ffm_32": fa_module_from_torch(sd, f"ffm_32_{i}."),
+            "ffm_16": fa_module_from_torch(sd, f"ffm_16_{i}."),
+            "ffm_8": fa_module_from_torch(sd, f"ffm_8_{i}."),
+            "ffm_4": fa_module_from_torch(sd, f"ffm_4_{i}."),
+            "enc": encoding_from_torch(sd, f"enc{i}."),
+            "ln": _ln(sd, f"layer_norm{i}.ln"),
+            "head": fpn_output_from_torch(sd, f"head{i}."),
+            "head_aux": fpn_output_from_torch(sd, f"head_aux{i}."),
+        })
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *subnets)
+    rows = []
+    for p in range(cfg.path_num):
+        hops = [attention_from_torch(sd, f"atn{p + 1}.")
+                for _ in range(cfg.window)]
+        rows.append(jax.tree.map(lambda *ys: jnp.stack(ys), *hops))
+    atn = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+    return {"paths": stacked, "atn": atn}
+
+
+def fanet_bootstrap_from_checkpoint(sd: dict, cfg, params: dict) -> dict:
+    """split_fanet_dict equivalent (reference utils.py:35-67 +
+    td2_fa.pretrained_init): replicate a single-path FANet checkpoint
+    (keys resnet.*, ffm_*.*, clslayer_8.*, clslayer_32.*) to both paths."""
+    import jax
+    sd = strip_module_prefix(sd)
+    P = cfg.path_num
+
+    def rep(tree):
+        return jax.tree.map(lambda x: jnp.stack([x] * P), tree)
+
+    paths = dict(params["paths"])
+    paths["backbone"] = rep(fanet_resnet_from_torch(sd, cfg.backbone_cfg,
+                                                    "resnet."))
+    for k in ("ffm_32", "ffm_16", "ffm_8", "ffm_4"):
+        paths[k] = rep(fa_module_from_torch(sd, k + "."))
+    paths["head"] = rep(fpn_output_from_torch(sd, "clslayer_8."))
+    paths["head_aux"] = rep(fpn_output_from_torch(sd, "clslayer_32."))
+    return {"paths": paths, "atn": params["atn"]}
+
+
 def tdnet_from_torch(sd: dict, cfg) -> dict:
     """Full TDNet checkpoint (Testing/ twin naming) -> stacked pytree.
 
