@@ -25,6 +25,16 @@ from tdnet_tpu.models.tdnet import (TDNetConfig, init_cache, select_path,
 from tdnet_tpu.nn.module import Ctx
 
 
+def hard_sync(x) -> None:
+    """True device barrier: fetch one element to host.
+
+    ``block_until_ready`` is a no-op on some tunneled platforms (axon);
+    a tiny D2H read is the only reliable completion barrier and costs
+    one element on direct-attached hardware.
+    """
+    np.asarray(jax.device_get(x.ravel()[0] if hasattr(x, "ravel") else x))
+
+
 class LatencyMeter:
     def __init__(self, warmup: int = 6):
         self.warmup = warmup
@@ -91,19 +101,38 @@ class Streamer:
         for p in range(self.cfg.path_num):
             out, cache = self._steps[p](self.path_params[p],
                                         self.atn_params[p], cache, example)
-        jax.block_until_ready(out)
+        hard_sync(out)
 
     def step(self, img: jnp.ndarray, timed: bool = True):
         """Run one frame; returns upsampled logits [n, H, W, nclass]."""
         p = self.frame_idx % self.cfg.path_num
         img = img.astype(self.dtype)
-        jax.block_until_ready(img)
+        if timed:
+            hard_sync(img)
         t0 = time.perf_counter()
         out, self.cache = self._steps[p](self.path_params[p],
                                          self.atn_params[p], self.cache, img)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
         if timed:
+            hard_sync(out)
+            dt = time.perf_counter() - t0
             self.meter.add(dt)
+        else:
+            dt = time.perf_counter() - t0
         self.frame_idx += 1
         return out, dt
+
+    def run_pipelined(self, frames, sync_every: int | None = None):
+        """Throughput mode: submit frames back-to-back (the cache chains
+        them on-device) and hard-sync only at the end. Returns
+        (last_output, seconds_per_frame). This is the steady-state
+        streaming rate; ``step(timed=True)`` measures single-frame
+        latency including host round trip."""
+        t0 = time.perf_counter()
+        out = None
+        for i, img in enumerate(frames):
+            out, _ = self.step(img.astype(self.dtype), timed=False)
+            if sync_every and (i + 1) % sync_every == 0:
+                hard_sync(out)
+        hard_sync(out)
+        n = i + 1
+        return out, (time.perf_counter() - t0) / n
