@@ -29,7 +29,7 @@ def main():
     in_size = (1025, 2049)
     cfg = tdnet_config("td2-psp50", in_size=in_size, streaming=True)
     params = init_tdnet(jax.random.PRNGKey(0), cfg)
-    streamer = Streamer(params, cfg, dtype=jnp.bfloat16)
+    streamer = Streamer(params, cfg, dtype=jnp.bfloat16, attn_impl="pallas")
 
     frames = sorted(glob.glob("/root/reference/Testing/data/vid1/*.png"))
     if frames:

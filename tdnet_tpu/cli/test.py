@@ -39,6 +39,8 @@ def main(argv=None):
                         choices=["float32", "bfloat16"])
     parser.add_argument("--in_size", type=int, nargs=2, default=[769, 1537])
     parser.add_argument("--warm_compile", action="store_true")
+    parser.add_argument("--attn_impl", type=str, default="xla",
+                        choices=["xla", "pallas"])
     parser.add_argument("--no_save", action="store_true")
     args = parser.parse_args(argv)
 
@@ -98,7 +100,7 @@ def main(argv=None):
             params = tdnet_from_torch(sd, cfg)
         else:
             print(f"No pretrained found at '{ckpt_path}'")
-        streamer = Streamer(params, cfg, dtype=dtype)
+        streamer = Streamer(params, cfg, dtype=dtype, attn_impl=args.attn_impl)
         if args.warm_compile:
             example = jnp.zeros((1, *in_size, 3), dtype)
             streamer.warm_compile(example)

@@ -28,6 +28,7 @@ class Ctx:
     rng: jax.Array | None = None
     axis_name: str | None = None
     attn_impl: str = "xla"
+    stem_s2d: bool = False  # space-to-depth first conv (inference perf)
     _n_rng: int = 0
 
     def next_rng(self):

@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from tdnet_tpu.nn.module import Ctx
-from tdnet_tpu.ops import conv2d, init_batch_norm, init_conv_msra_out, max_pool
+from tdnet_tpu.ops import (conv2d, init_batch_norm, init_conv_msra_out,
+                           max_pool)
+from tdnet_tpu.ops.conv import conv2d_stem_s2d
 
 _MULTI_DILATIONS = (4, 8, 16)
 
@@ -191,11 +193,16 @@ def apply_resnet(params: dict, x: jnp.ndarray, cfg: ResNetConfig, ctx: Ctx):
     np_ = dict(params)
     stem = dict(params["stem"])
     if cfg.deep_base:
-        x = conv2d(x, stem["conv0"]["w"], stride=2, padding=1)
+        if ctx.stem_s2d:
+            x = conv2d_stem_s2d(x, stem["conv0"]["w"], padding=1)
+        else:
+            x = conv2d(x, stem["conv0"]["w"], stride=2, padding=1)
         x, stem["bn0"] = ctx.bn(x, stem["bn0"], activation="relu")
         x = conv2d(x, stem["conv1"]["w"], padding=1)
         x, stem["bn1"] = ctx.bn(x, stem["bn1"], activation="relu")
         x = conv2d(x, stem["conv2"]["w"], padding=1)
+    elif ctx.stem_s2d:
+        x = conv2d_stem_s2d(x, stem["conv0"]["w"], padding=3)
     else:
         x = conv2d(x, stem["conv0"]["w"], stride=2, padding=3)
     np_["stem"] = stem

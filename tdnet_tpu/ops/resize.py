@@ -53,26 +53,39 @@ def interp_matrix(in_size: int, out_size: int, align_corners: bool = True,
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int],
-                    align_corners: bool = True) -> jnp.ndarray:
+                    align_corners: bool = True,
+                    precision: str | None = None) -> jnp.ndarray:
     """Bilinear resize of NHWC ``x`` to spatial size ``out_hw``.
 
     Matches ``torch.nn.functional.interpolate(x, out_hw, mode='bilinear',
     align_corners=align_corners)`` bit-for-bit up to float associativity.
+
+    Precision: f32 inputs always use HIGHEST (TPU matmuls default to bf16
+    passes, which makes a convex combination overshoot its inputs — torch
+    parity needs full-f32 interpolation weights). bf16 inputs default to
+    the fast native-precision path: the data has 8 mantissa bits anyway,
+    and the big full-resolution logit upsamples are bandwidth-bound.
+    Pass ``precision='highest'`` to force exactness for bf16 too.
     """
     n, h, w, c = x.shape
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
     dt = x.dtype
-    ah = interp_matrix(h, oh, align_corners, dtype=jnp.float32)
-    aw = interp_matrix(w, ow, align_corners, dtype=jnp.float32)
-    y = x.astype(jnp.float32)
+    if precision is None:
+        precision = "fast" if dt == jnp.bfloat16 else "highest"
+    if precision == "highest":
+        prec = jax.lax.Precision.HIGHEST
+        cdt = jnp.float32
+    else:
+        prec = jax.lax.Precision.DEFAULT
+        cdt = dt
+    ah = interp_matrix(h, oh, align_corners, dtype=cdt)
+    aw = interp_matrix(w, ow, align_corners, dtype=cdt)
+    y = x.astype(cdt)
     # [oh,h] x [n,h,w,c] -> [n,oh,w,c] ; then [ow,w] contraction on axis 2.
-    # HIGHEST precision: TPU matmuls default to bf16 passes, which makes a
-    # convex combination overshoot its inputs; interpolation weights must be
-    # applied in f32 for torch parity. These are small contractions.
-    y = jnp.einsum("Oh,nhwc->nOwc", ah, y, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("Ow,nhwc->nhOc", aw, y, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("Oh,nhwc->nOwc", ah, y, precision=prec)
+    y = jnp.einsum("Ow,nhwc->nhOc", aw, y, precision=prec)
     return y.astype(dt)
 
 
