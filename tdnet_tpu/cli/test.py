@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--attn_impl", type=str, default="xla",
                         choices=["xla", "pallas"])
     parser.add_argument("--no_save", action="store_true")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax.profiler trace to this directory")
+    parser.add_argument("--native_loader", action="store_true",
+                        help="use the C++ frame loader (native/libtdloader.so)")
     args = parser.parse_args(argv)
 
     from tdnet_tpu.data.streaming import FrameSource, decode_segmap
@@ -57,7 +61,15 @@ def main(argv=None):
 
     in_size = tuple(args.in_size)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    vid_seq = FrameSource(args.img_path, in_size)
+    if args.native_loader:
+        from tdnet_tpu.data.native import NativeFrameSource, native_available
+        if native_available():
+            vid_seq = NativeFrameSource(args.img_path, in_size)
+        else:
+            print("native loader unavailable; falling back to Python loader")
+            vid_seq = FrameSource(args.img_path, in_size)
+    else:
+        vid_seq = FrameSource(args.img_path, in_size)
     key = jax.random.PRNGKey(0)
 
     ckpt_path = {"td4-psp18": args._td4_psp18_path,
@@ -112,8 +124,12 @@ def main(argv=None):
 
     os.makedirs(args.output_path, exist_ok=True)
     import imageio.v2 as imageio
+    import contextlib
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
 
-    for i, (x, img_name, folder, ori_size) in enumerate(vid_seq):
+    with prof:
+     for i, (x, img_name, folder, ori_size) in enumerate(vid_seq):
         out, dt = run_frame(i, jnp.asarray(x))
         pred = np.asarray(jnp.argmax(out[0], axis=-1)).astype(np.uint8)
         if not args.no_save:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 
 def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
-          path_parallel: int | None = None):
+          path_parallel: int | None = None, resume_state: str | None = None):
     from tdnet_tpu.data.augment import get_composed_augmentations
     from tdnet_tpu.data.cityscapes import ClipBatcher
     from tdnet_tpu.data import get_loader
@@ -109,6 +109,15 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
     state = make_train_state(jax.random.PRNGKey(seed), mcfg, mesh,
                              max_iter=max_iter, opt_kwargs=opt_kwargs,
                              params=params)
+    start_iter = 0
+    if resume_state and os.path.isfile(resume_state):
+        # resume-from-step (preemption recovery; exceeds the reference's
+        # best-only checkpointing, SURVEY.md 5.3)
+        saved = ckpt.load_pytree(resume_state)
+        state = jax.tree.map(jnp.asarray, saved)
+        start_iter = int(state["it"])
+        logger.info(f"resumed training state from '{resume_state}' "
+                    f"at iter {start_iter}")
     step = make_train_step(mcfg, mesh, teacher_cfg=tcfg, max_iter=max_iter,
                            loss_fn=loss_fn, opt_kwargs=opt_kwargs)
     eval_step = make_eval_step(mcfg)
@@ -117,8 +126,9 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
     running = RunningScore(t_ds.n_classes)
     time_meter = AverageMeter()
     best_iou = 0.0
-    cnt_iter = 0
-    stop_at = min(max_iter, max_steps or max_iter)
+    cnt_iter = start_iter
+    stop_at = min(max_iter, (start_iter + max_steps) if max_steps else max_iter)
+    ckpt_interval = int(cfg["training"].get("ckpt_interval", 0) or 0)
 
     for frames, labels in batcher:
         cnt_iter += 1
@@ -158,7 +168,12 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
                     step=cnt_iter, params=state["params"], best_iou=best_iou)
                 logger.info(f"saved best checkpoint to {path}")
 
+        if ckpt_interval and cnt_iter % ckpt_interval == 0:
+            ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"), state)
+            logger.info(f"periodic train-state checkpoint at iter {cnt_iter}")
+
         if cnt_iter >= stop_at:
+            ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"), state)
             break
     return state, best_iou
 
@@ -174,6 +189,9 @@ def main(argv=None):
                         help="stop early after N steps (smoke runs)")
     parser.add_argument("--path_parallel", type=int, default=None,
                         help="shard the subnet axis over this many devices")
+    parser.add_argument("--resume_state", type=str, default=None,
+                        help="resume full train state (params+opt+iter) "
+                             "from a state_latest.pkl")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -182,7 +200,7 @@ def main(argv=None):
     logger = get_logger(logdir)
     logger.info("Let the games begin")
     train(cfg, logger, logdir, max_steps=args.max_steps,
-          path_parallel=args.path_parallel)
+          path_parallel=args.path_parallel, resume_state=args.resume_state)
 
 
 if __name__ == "__main__":
