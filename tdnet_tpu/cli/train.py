@@ -93,6 +93,20 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
         params = bootstrap(load_torch_state(resume), mcfg, params)
     else:
         logger.info(f"No pretrained found at '{resume}'")
+        # reference students build their backbones with pretrained=True
+        # (ImageNet); use a locally cached checkpoint when available
+        if not isinstance(mcfg, FATDConfig):
+            from tdnet_tpu.utils.model_store import load_imagenet_backbone
+            bb = load_imagenet_backbone(cfg["model"]["backbone"],
+                                        mcfg.backbone_cfg)
+            if bb is not None:
+                P = mcfg.path_num
+                paths = dict(params["paths"])
+                paths["backbone"] = jax.tree.map(
+                    lambda x: jnp.stack([x] * P), bb)
+                params = {"paths": paths, "atn": params["atn"]}
+                logger.info("initialized backbones from cached ImageNet "
+                            "checkpoint")
 
     teacher_params = None
     if tcfg is not None:
@@ -192,7 +206,11 @@ def main(argv=None):
     parser.add_argument("--resume_state", type=str, default=None,
                         help="resume full train state (params+opt+iter) "
                              "from a state_latest.pkl")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (fail fast on NaN)")
     args = parser.parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cfg = load_config(args.config)
     logdir = make_run_dir(args.config)

@@ -50,6 +50,30 @@ def param_labels(params) -> dict:
     return jax.tree_util.tree_map_with_path(lambda p, _: _label_leaf(p), params)
 
 
+KEY2OPT = {
+    # reference registry (Training/ptsemseg/optimizers/__init__.py:8-17);
+    # torch-style SGD momentum == optax.sgd with trace accumulator
+    "sgd": lambda lr=1e-2, momentum=0.0, weight_decay=0.0, **kw:
+        optax.chain(optax.add_decayed_weights(weight_decay),
+                    optax.sgd(lr, momentum=momentum or None)),
+    "adam": lambda lr=1e-3, **kw: optax.adam(lr, **kw),
+    "asgd": lambda lr=1e-2, **kw: optax.sgd(lr),  # averaged-SGD: plain SGD
+    "adamax": lambda lr=2e-3, **kw: optax.adamax(lr, **kw),
+    "adadelta": lambda lr=1.0, **kw: optax.adadelta(lr, **kw),
+    "adagrad": lambda lr=1e-2, **kw: optax.adagrad(lr, **kw),
+    "rmsprop": lambda lr=1e-2, **kw: optax.rmsprop(lr, **kw),
+}
+
+
+def get_optimizer(name: str, **kwargs) -> optax.GradientTransformation:
+    """Generic registry for non-Ada optimizers (the reference exposes 7
+    torch optimizers alongside AdaOptimizer; the TDNet recipes only ever
+    use adaoptimizer — see ada_optimizer below)."""
+    if name not in KEY2OPT:
+        raise NotImplementedError(f"Optimizer {name} not implemented")
+    return KEY2OPT[name](**kwargs)
+
+
 def ada_optimizer(params, *, lr0: float = 1e-2, momentum: float = 0.9,
                   wd: float = 1e-4, warmup_steps: int = 1000,
                   warmup_start_lr: float = 1e-5, max_iter: int = 40000,
