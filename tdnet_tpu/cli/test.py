@@ -129,18 +129,19 @@ def main(argv=None):
             else contextlib.nullcontext())
 
     with prof:
-     for i, (x, img_name, folder, ori_size) in enumerate(vid_seq):
-        out, dt = run_frame(i, jnp.asarray(x))
-        pred = np.asarray(jnp.argmax(out[0], axis=-1)).astype(np.uint8)
-        if not args.no_save:
-            import cv2
-            small = cv2.resize(pred, (in_size[1] // 4, in_size[0] // 4),
-                               interpolation=cv2.INTER_NEAREST)
-            decoded = decode_segmap(small)
-            save_dir = os.path.join(args.output_path, folder)
-            os.makedirs(save_dir, exist_ok=True)
-            imageio.imwrite(os.path.join(save_dir, img_name), decoded)
-        print(" Frame {0:2d}   RunningTime/Latency={1:3.5f} s".format(i + 1, dt))
+        for i, (x, img_name, folder, ori_size) in enumerate(vid_seq):
+            out, dt = run_frame(i, jnp.asarray(x))
+            pred = np.asarray(jnp.argmax(out[0], axis=-1)).astype(np.uint8)
+            if not args.no_save:
+                import cv2
+                small = cv2.resize(pred, (in_size[1] // 4, in_size[0] // 4),
+                                   interpolation=cv2.INTER_NEAREST)
+                decoded = decode_segmap(small)
+                save_dir = os.path.join(args.output_path, folder)
+                os.makedirs(save_dir, exist_ok=True)
+                imageio.imwrite(os.path.join(save_dir, img_name), decoded)
+            print(" Frame {0:2d}   RunningTime/Latency={1:3.5f} s"
+                  .format(i + 1, dt))
 
     print("---------------------")
     print(" Model: {0:s}".format(args.model))

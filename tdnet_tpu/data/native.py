@@ -72,8 +72,6 @@ def decode_png(data: bytes):
                            ctypes.byref(h))
     if c == 0:
         raise ValueError("PNG decode failed")
-    out_c = 3 if c >= 3 or c == 0 else c
-    out_c = 3 if c == 3 else (1 if c == 1 else 3)
     buf = np.empty((h.value, w.value, 3 if c != 1 else 1), np.uint8)
     # second call fills; decoder outputs c==1 for gray, 3 otherwise
     c2 = lib.tdl_decode_png(

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from tdnet_tpu.models import init_model, model_clip_forward
-from tdnet_tpu.models.tdnet import TDNetConfig, clip_forward, init_tdnet
+from tdnet_tpu.models.tdnet import TDNetConfig
 from tdnet_tpu.models.teacher import TeacherConfig, apply_teacher
 from tdnet_tpu.nn.module import Ctx
 from tdnet_tpu.parallel.mesh import shard_params
