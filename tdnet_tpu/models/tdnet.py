@@ -206,8 +206,21 @@ def stream_step(path_params: dict, atn_p, cache: dict, img: jnp.ndarray,
     Returns (logits upsampled to input size, new_cache).
     """
     ctx = ctx or Ctx(train=False)
-    _, z, _ = _subnet_trunk(path_params, img, cfg, ctx, pid)
-    q_cur, v_cur, _ = apply_encoding_full(path_params["enc"], z, ctx)
+    use_fused = (ctx.fused_trunk and not ctx.train and cfg.pool_before_proj
+                 and isinstance(pid, int))
+    if use_fused:
+        # z-free fast path: grouped PSP + QKV projections fused
+        # (nn/fused_trunk.py) — exact, skips materializing the 2C/G-wide
+        # pyramid feature
+        from tdnet_tpu.nn.fused_trunk import fused_psp_encoding
+        _, c4, _ = apply_resnet(path_params["backbone"], img,
+                                cfg.backbone_cfg, ctx)
+        q_cur, v_cur, q_c, k_c, v_c = fused_psp_encoding(
+            path_params["psp"], path_params["enc"], c4, ctx, pid=pid,
+            groups=cfg.psp_groups, kv_stride=cfg.kv_stride)
+    else:
+        _, z, _ = _subnet_trunk(path_params, img, cfg, ctx, pid)
+        q_cur, v_cur, _ = apply_encoding_full(path_params["enc"], z, ctx)
 
     ks = [cache["k"][h] for h in range(cfg.window)]
     vs = [cache["v"][h] for h in range(cfg.window)]
@@ -220,9 +233,10 @@ def stream_step(path_params: dict, atn_p, cache: dict, img: jnp.ndarray,
     out, _ = apply_fcn_head(path_params["head"], feat, ctx)
     out = resize_bilinear(out, cfg.in_size)
 
-    q_c, k_c, v_c = apply_encoding_cached(
-        path_params["enc"], z, ctx, kv_stride=cfg.kv_stride,
-        pool_before_proj=cfg.pool_before_proj)[:3]
+    if not use_fused:
+        q_c, k_c, v_c = apply_encoding_cached(
+            path_params["enc"], z, ctx, kv_stride=cfg.kv_stride,
+            pool_before_proj=cfg.pool_before_proj)[:3]
     new_cache = {
         "q": jnp.concatenate([cache["q"][1:], q_c[None]], axis=0),
         "k": jnp.concatenate([cache["k"][1:], k_c[None]], axis=0),

@@ -29,6 +29,7 @@ class Ctx:
     axis_name: str | None = None
     attn_impl: str = "xla"
     stem_s2d: bool = False  # space-to-depth first conv (inference perf)
+    fused_trunk: bool = False  # z-free grouped-PSP+QKV path (inference perf)
     _n_rng: int = 0
 
     def next_rng(self):

@@ -1,0 +1,52 @@
+"""The z-free fused grouped-PSP+QKV path equals the reference dataflow."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tdnet_tpu.models.tdnet import (TDNetConfig, init_cache, init_tdnet,
+                                    select_path, stream_step)
+from tdnet_tpu.nn.module import Ctx
+
+
+def test_fused_trunk_matches_standard_streaming():
+    cfg = TDNetConfig(nclass=19, backbone="resnet18", path_num=4,
+                      in_size=(97, 193), kv_stride=4, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    frames = [jnp.asarray(rng.randn(1, 97, 193, 3).astype(np.float32) * 0.5)
+              for _ in range(6)]
+    c1, c2 = init_cache(cfg), init_cache(cfg)
+    for i, f in enumerate(frames):
+        p = i % 4
+        pp = select_path(params["paths"], p)
+        ap = select_path(params["atn"], p)
+        o1, c1 = stream_step(pp, ap, c1, f, cfg, cfg.psp_pid(p),
+                             Ctx(train=False))
+        o2, c2 = stream_step(pp, ap, c2, f, cfg, cfg.psp_pid(p),
+                             Ctx(train=False, fused_trunk=True))
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   atol=5e-4, rtol=1e-4,
+                                   err_msg=f"frame {i}")
+
+
+def test_fused_trunk_td2_geometry():
+    cfg = TDNetConfig(nclass=19, backbone="resnet50", path_num=2,
+                      in_size=(97, 193), kv_stride=4, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    frames = [jnp.asarray(rng.randn(1, 97, 193, 3).astype(np.float32) * 0.5)
+              for _ in range(3)]
+    c1, c2 = init_cache(cfg), init_cache(cfg)
+    for i, f in enumerate(frames):
+        p = i % 2
+        pp = select_path(params["paths"], p)
+        ap = select_path(params["atn"], p)
+        o1, c1 = stream_step(pp, ap, c1, f, cfg, cfg.psp_pid(p),
+                             Ctx(train=False))
+        o2, c2 = stream_step(pp, ap, c2, f, cfg, cfg.psp_pid(p),
+                             Ctx(train=False, fused_trunk=True))
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   atol=5e-4, rtol=1e-4,
+                                   err_msg=f"frame {i}")
