@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tdnet_tpu.nn.module import Ctx
+from tdnet_tpu.nn.module import Ctx  # noqa: F401 (signature typing)
 from tdnet_tpu.ops import adaptive_avg_pool, batch_norm, conv2d
 from tdnet_tpu.ops.resize import interp_matrix
 
@@ -60,7 +60,7 @@ def _upsample_mat(x, ah, aw):
     return y.astype(x.dtype)
 
 
-def _psp_pieces(psp_params, c4, ctx: Ctx, pid: int, groups: int):
+def _psp_pieces(psp_params, c4, pid: int, groups: int):
     """Pooled + projected + sliced pyramid branch maps (NOT upsampled)."""
     c = c4.shape[-1]
     gq = c // (groups * 4)
@@ -101,10 +101,11 @@ def fused_psp_encoding(psp_params, enc_params, c4, ctx: Ctx, *, pid: int,
     apply_encoding_full + apply_encoding_cached(pool_before_proj=True)
     on the grouped-PSP feature, computed without materializing it.
     """
+    del ctx  # inference-only path: BN always uses running stats
     n, h, w, c = c4.shape
     g = c // groups
     id_map = c4[..., pid * g:(pid + 1) * g]
-    pieces = _psp_pieces(psp_params, c4, ctx, pid, groups)
+    pieces = _psp_pieces(psp_params, c4, pid, groups)
 
     def proj2(p2, full_stride):
         """two-layer q/k projection: conv0 -> BN(leaky) -> conv1."""
