@@ -131,28 +131,44 @@ class RandomRotate:
 
 
 class RandomTranslate:
+    """Shift image content by (-dx, -dy) with reflect-padded borders;
+    the mask shifts identically with vacated pixels filled with the
+    ignore index (reference augmentations.py:175-227 crop + reflect-pad
+    + affine-fill-250 semantics)."""
+
     def __init__(self, offset):
-        self.offset = offset  # (dx, dy)
+        self.offset = offset  # (max_dx, max_dy)
 
     def __call__(self, imgs, mask, rng):
-        x_off = int(2 * (rng.random() - 0.5) * self.offset[0])
-        y_off = int(2 * (rng.random() - 0.5) * self.offset[1])
+        dx = int(2 * (rng.random() - 0.5) * self.offset[0])
+        dy = int(2 * (rng.random() - 0.5) * self.offset[1])
+
+        def crop_box(h, w):
+            top = max(dy, 0)
+            left = max(dx, 0)
+            return top, left, h - abs(dy), w - abs(dx)
+
         out = []
         for im in imgs:
             a = np.asarray(im)
-            a = np.roll(a, (y_off, x_off), axis=(0, 1))
-            out.append(Image.fromarray(a))
-        m = np.asarray(mask).copy()
-        m = np.roll(m, (y_off, x_off), axis=(0, 1))
-        if y_off > 0:
-            m[:y_off] = 250
-        elif y_off < 0:
-            m[y_off:] = 250
-        if x_off > 0:
-            m[:, :x_off] = 250
-        elif x_off < 0:
-            m[:, x_off:] = 250
-        return out, Image.fromarray(m)
+            h, w = a.shape[:2]
+            top, left, ch, cw = crop_box(h, w)
+            cropped = a[top:top + ch, left:left + cw]
+            pad = ((abs(dy) if dy < 0 else 0, dy if dy > 0 else 0),
+                   (abs(dx) if dx < 0 else 0, dx if dx > 0 else 0))
+            if a.ndim == 3:
+                pad = pad + ((0, 0),)
+            out.append(Image.fromarray(np.pad(cropped, pad, mode="reflect")))
+
+        m = np.asarray(mask)
+        h, w = m.shape
+        top, left, ch, cw = crop_box(h, w)
+        shifted = np.full_like(m, 250)
+        dst_top = abs(dy) if dy < 0 else 0
+        dst_left = abs(dx) if dx < 0 else 0
+        shifted[dst_top:dst_top + ch, dst_left:dst_left + cw] = \
+            m[top:top + ch, left:left + cw]
+        return out, Image.fromarray(shifted)
 
 
 class ColorJitter:
