@@ -34,7 +34,9 @@ def main(argv=None):
     parser.add_argument("--gpu", nargs="?", type=str, default="0",
                         help="accepted for reference compatibility (unused)")
     parser.add_argument("--model", nargs="?", type=str, default="td4-psp18",
-                        help="model in [td4-psp18, td2-psp50, psp101]")
+                        help="model in [td4-psp18, td2-psp50, td2-fa, psp101]")
+    parser.add_argument("--_td2_fa_path", nargs="?", type=str,
+                        default="./checkpoint/td2-fa.pkl")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--in_size", type=int, nargs=2, default=[769, 1537])
@@ -49,11 +51,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from tdnet_tpu.data.streaming import FrameSource, decode_segmap
-    from tdnet_tpu.models import (PSPNetConfig, apply_pspnet, init_pspnet,
-                                  init_tdnet, tdnet_config)
+    from tdnet_tpu.models import (PSPNetConfig, apply_pspnet, init_model,
+                                  init_pspnet, tdnet_config)
     from tdnet_tpu.nn.module import Ctx
     from tdnet_tpu.stream.runtime import LatencyMeter, Streamer
-    from tdnet_tpu.utils.torch_import import (load_torch_state,
+    from tdnet_tpu.utils.torch_import import (fatd_from_torch,
+                                              load_torch_state,
                                               psp_head_from_torch,
                                               resnet_from_torch,
                                               strip_module_prefix,
@@ -74,6 +77,7 @@ def main(argv=None):
 
     ckpt_path = {"td4-psp18": args._td4_psp18_path,
                  "td2-psp50": args._td2_psp50_path,
+                 "td2-fa": args._td2_fa_path,
                  "psp101": args._psp101_path}[args.model]
 
     if args.model == "psp101":
@@ -103,13 +107,16 @@ def main(argv=None):
             meter.add(dt)
             return out, dt
     else:
+        streaming_kw = {} if args.model == "td2-fa" else dict(streaming=True)
         cfg = tdnet_config(args.model, nclass=19, in_size=in_size,
-                           streaming=True)
-        params = init_tdnet(key, cfg)
+                           **streaming_kw)
+        params = init_model(key, cfg)
         if ckpt_path and os.path.isfile(ckpt_path):
             print(f"Loading pretrained model from '{ckpt_path}'")
             sd = strip_module_prefix(load_torch_state(ckpt_path))
-            params = tdnet_from_torch(sd, cfg)
+            from_torch = (fatd_from_torch if args.model == "td2-fa"
+                          else tdnet_from_torch)
+            params = from_torch(sd, cfg)
         else:
             print(f"No pretrained found at '{ckpt_path}'")
         streamer = Streamer(params, cfg, dtype=dtype, attn_impl=args.attn_impl)
