@@ -24,13 +24,19 @@ import jax.numpy as jnp
 def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray,
                   ignore_index: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """NHWC logits, NHW int labels -> (per-pixel loss with 0 at ignored,
-    valid mask). Matches torch reduction='none' + ignore_index."""
+    valid mask). Matches torch reduction='none' + ignore_index.
+
+    TPU note: the picked logit comes from a one-hot multiply-reduce over
+    the minor (class) axis, not take_along_axis — minor-axis gathers on
+    [pixels, C] cost milliseconds at segmentation sizes."""
     nclass = logits.shape[-1]
     valid = (labels != ignore_index) & (labels >= 0) & (labels < nclass)
     safe = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    return jnp.where(valid, -ll, 0.0), valid
+    lg = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lg, axis=-1)
+    onehot = jax.nn.one_hot(safe, nclass, dtype=jnp.float32)
+    picked = jnp.sum(lg * onehot, axis=-1)
+    return jnp.where(valid, lse - picked, 0.0), valid
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
@@ -46,7 +52,9 @@ def _kth_largest(x: jnp.ndarray, k: int) -> jnp.ndarray:
     cheaper). For non-negative IEEE floats the int32 bit pattern is
     order-isomorphic, so bisecting integer bits finds the exact value.
 
-    Returns t such that count(x > t) < k <= count(x >= t).
+    Returns t such that count(x > t) < k <= count(x >= t). ``x`` may be
+    any shape (reductions run over all elements — do NOT flatten first;
+    a 1-D reshape forces a slow T(1024) relayout on TPU).
     """
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
 
@@ -72,16 +80,15 @@ def ohem_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, *,
     and the top-n_min sum is reconstructed from the exact n_min-th
     largest value with tie adjustment."""
     loss, _ = _per_pixel_ce(logits, labels, ignore_index)
-    flat = loss.reshape(-1)
     log_thresh = jnp.float32(-math.log(thresh))
 
-    count_th = jnp.sum(flat > log_thresh)
-    sum_th = jnp.sum(jnp.where(flat > log_thresh, flat, 0.0))
+    count_th = jnp.sum(loss > log_thresh)
+    sum_th = jnp.sum(jnp.where(loss > log_thresh, loss, 0.0))
     use_thresh = count_th > n_min
 
-    tau = _kth_largest(flat, n_min)
-    count_gt = jnp.sum(flat > tau)
-    sum_gt = jnp.sum(jnp.where(flat > tau, flat, 0.0))
+    tau = _kth_largest(loss, n_min)
+    count_gt = jnp.sum(loss > tau)
+    sum_gt = jnp.sum(jnp.where(loss > tau, loss, 0.0))
     topk_sum = sum_gt + tau * (n_min - count_gt)  # ties at tau fill to k
 
     return jnp.where(use_thresh,
