@@ -2,7 +2,6 @@
 CamVid / NYUDv2 loader smoke tests and device-preprocess parity."""
 
 import os
-import sys
 
 import numpy as np
 import pytest
