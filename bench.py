@@ -47,16 +47,16 @@ def main():
                 for _ in range(8)]
 
     streamer.warm_compile(imgs[0])
-    streamer.reset()
     n_frames = 60
     stream = [imgs[i % len(imgs)] for i in range(n_frames)]
     # steady-state streaming throughput: frames submitted back-to-back,
-    # chained on-device through the feature cache, hard-synced at the end
-    _, spf = streamer.run_pipelined(stream)
-    # measure twice, keep the better (tunnel jitter)
-    streamer.reset()
-    _, spf2 = streamer.run_pipelined(stream)
-    spf = min(spf, spf2)
+    # chained on-device through the feature cache, hard-synced at the
+    # end; best of three repeats (host/tunnel jitter)
+    spf = float("inf")
+    for _ in range(3):
+        streamer.reset()
+        _, s = streamer.run_pipelined(stream)
+        spf = min(spf, s)
 
     fps = 1.0 / spf
     ref_fps = 1000.0 / 180.0  # reference TD2-PSP50: ~180 ms/frame
