@@ -48,6 +48,9 @@ def main(argv=None):
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--native_loader", action="store_true",
                         help="use the C++ frame loader (native/libtdloader.so)")
+    parser.add_argument("--display", action="store_true",
+                        help="live cv2 window like the reference "
+                             "(Testing/test.py:72-74); ignored headless")
     args = parser.parse_args(argv)
 
     from tdnet_tpu.data.streaming import FrameSource, decode_segmap
@@ -147,6 +150,17 @@ def main(argv=None):
                 save_dir = os.path.join(args.output_path, folder)
                 os.makedirs(save_dir, exist_ok=True)
                 imageio.imwrite(os.path.join(save_dir, img_name), decoded)
+            if args.display:
+                # cv2's Qt backend hard-aborts without an X display, so
+                # gate on $DISPLAY rather than try/except
+                if not os.environ.get("DISPLAY"):
+                    print("(no $DISPLAY — live view disabled)")
+                    args.display = False
+                else:
+                    import cv2
+                    cv2.namedWindow("Image")
+                    cv2.imshow("Image", decode_segmap(pred))
+                    cv2.waitKey(1)
             print(" Frame {0:2d}   RunningTime/Latency={1:3.5f} s"
                   .format(i + 1, dt))
 
