@@ -81,12 +81,6 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     return out
 
 
-def shard_like_params(tree, params_sharded):
-    """Give an opt-state (or grads) pytree the same leaf shardings as the
-    (already placed) params tree where structures line up."""
-    return tree  # GSPMD propagates from params; explicit placement optional
-
-
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> int:

@@ -1,4 +1,4 @@
-"""Native checkpointing (Orbax) + run management.
+"""Native checkpointing (host-side pickled numpy pytrees) + run management.
 
 Covers the reference's best-mIoU checkpoint behavior
 (Training/train.py:136-146: save {epoch, model_state-sans-teacher,

@@ -53,10 +53,10 @@ def teacher_from_psp_checkpoint(sd: dict, teacher_cfg) -> dict:
     """
     sd = strip_module_prefix(sd)
     P = teacher_cfg.path_num
+    # For P == 2 the reference's splitter also materializes groups 3,4 as
+    # copies of 1,2 (utils.py:181-185) but pspnet_2p loads only
+    # grp_state1/2 (pspnet_2p.py:102-107), so two groups are all there is.
     gws = _head_conv_groups(sd, P)
-    if P == 2:
-        # reference reuses groups (1,2) for (3,4) when path_num==2
-        pass
     groups = [{"w": jnp.asarray(np.transpose(gw, (2, 3, 1, 0)))} for gw in gws]
     return {
         "backbone": resnet_from_torch(sd, teacher_cfg.backbone_cfg, "pretrained."),
