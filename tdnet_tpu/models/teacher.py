@@ -37,7 +37,9 @@ class TeacherConfig:
 
     @property
     def channels(self) -> int:
-        return 2048
+        # reference pspnet_4p hardcodes 2048 (resnet101); derive from the
+        # trunk so small test backbones work too
+        return self.backbone_cfg.out_channels
 
     @property
     def group_in(self) -> int:

@@ -107,9 +107,10 @@ def apply_attention(params: dict, k_src: jnp.ndarray, v_src: jnp.ndarray,
     i.e. a per-token dense layer; reference transformer.py:82-91.)
     """
     temperature = math.sqrt(d_k)
-    drop_rng = ctx.next_rng() if (ctx.train and ctx.rng is not None) else None
+    do_drop = ctx.train and ctx.use_dropout
+    drop_rng = ctx.next_rng() if (do_drop and ctx.rng is not None) else None
     out = scaled_dot_attention(q_tgr, k_src, v_src, temperature=temperature,
-                               dropout_rate=0.1 if ctx.train else 0.0,
+                               dropout_rate=0.1 if do_drop else 0.0,
                                dropout_rng=drop_rng, impl=ctx.attn_impl)
     # per-token fc: [n, L, d_v] x [d_v, d_v]
     w = params["fc"]["w"][0, 0]  # [d_v, d_v] (HWIO 1x1)

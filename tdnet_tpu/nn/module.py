@@ -30,6 +30,7 @@ class Ctx:
     attn_impl: str = "xla"
     stem_s2d: bool = False  # space-to-depth first conv (inference perf)
     fused_trunk: bool = False  # z-free grouped-PSP+QKV path (inference perf)
+    use_dropout: bool = True  # False: train-mode BN but no dropout (oracle tests)
     _n_rng: int = 0
 
     def next_rng(self):
@@ -48,14 +49,14 @@ class Ctx:
         return batch_norm(x, p, train=False, activation=activation), p
 
     def dropout(self, x, rate: float):
-        if not self.train or rate <= 0.0:
+        if not self.train or not self.use_dropout or rate <= 0.0:
             return x
         keep = jax.random.bernoulli(self.next_rng(), 1.0 - rate, x.shape)
         return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
     def dropout2d(self, x, rate: float):
         """torch Dropout2d: drops whole channels (NHWC -> mask [n,1,1,c])."""
-        if not self.train or rate <= 0.0:
+        if not self.train or not self.use_dropout or rate <= 0.0:
             return x
         keep = jax.random.bernoulli(self.next_rng(), 1.0 - rate,
                                     (x.shape[0], 1, 1, x.shape[-1]))

@@ -49,24 +49,25 @@ def make_train_state(key, cfg: TDNetConfig, mesh=None, *, max_iter: int = 40000,
     }
 
 
-def make_train_step(cfg: TDNetConfig, mesh=None, *,
-                    teacher_cfg: TeacherConfig | None = None,
-                    max_iter: int = 40000, loss_fn=None,
-                    opt_kwargs: dict | None = None, axis_name=None,
-                    donate: bool = True):
-    """Returns jitted ``step(state, frames, labels, pos_id[, teacher_params])``.
+def make_loss_of(cfg: TDNetConfig, *,
+                 teacher_cfg: TeacherConfig | None = None,
+                 loss_fn=None, axis_name=None, use_dropout: bool = True):
+    """The assembled training loss (reference td4_psp.py:367-374):
+    ``CE(out) + 0.5*CE(out_sub) [+ 0.1*CE(auxout)] + 1.0*KD`` where
+    ``KD = KL(out||T_full) + 0.5*KL(out_sub||T_group_p)`` at the c4 grid.
 
-    frames: [P, N, H, W, 3] float32 (f1..fP, oldest..current);
-    labels: [N, H, W] int (current frame's ground truth).
+    Returns ``loss_of(params, frames, labels, pos_id, rng, teacher_params)
+    -> (loss, {"updated_params", "kd"})``. ``use_dropout=False`` keeps
+    train-mode BN but disables dropout (deterministic oracle testing).
     """
-    opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
     if loss_fn is None:
         loss_fn = lambda lg, lb: cross_entropy(lg, lb, 250)
 
     fwd = model_clip_forward(cfg)
 
     def loss_of(params, frames, labels, pos_id, rng, teacher_params):
-        ctx = Ctx(train=True, rng=rng, axis_name=axis_name)
+        ctx = Ctx(train=True, rng=rng, axis_name=axis_name,
+                  use_dropout=use_dropout)
         res = fwd(params, frames, pos_id, cfg, ctx)
         loss = (loss_fn(res["out"], labels)
                 + 0.5 * loss_fn(res["out_sub"], labels))
@@ -82,6 +83,23 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
             loss = loss + kd
         aux = {"updated_params": res["updated_params"], "kd": kd}
         return loss, aux
+
+    return loss_of
+
+
+def make_train_step(cfg: TDNetConfig, mesh=None, *,
+                    teacher_cfg: TeacherConfig | None = None,
+                    max_iter: int = 40000, loss_fn=None,
+                    opt_kwargs: dict | None = None, axis_name=None,
+                    donate: bool = True):
+    """Returns jitted ``step(state, frames, labels, pos_id[, teacher_params])``.
+
+    frames: [P, N, H, W, 3] float32 (f1..fP, oldest..current);
+    labels: [N, H, W] int (current frame's ground truth).
+    """
+    opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
+    loss_of = make_loss_of(cfg, teacher_cfg=teacher_cfg, loss_fn=loss_fn,
+                           axis_name=axis_name)
 
     def step(state, frames, labels, pos_id, teacher_params=None):
         tx, schedule = ada_optimizer(state["params"], **opt_kwargs)

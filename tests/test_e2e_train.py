@@ -51,7 +51,8 @@ def _tiny_config(root, tmpdir, path_num=4):
         "model": {"arch": "td4_psp" if path_num == 4 else "td2_psp",
                   "backbone": "resnet10", "syncBN": True,
                   "path_num": path_num},
-        "teacher": None,
+        "teacher": {"path_num": path_num, "backbone": "resnet10",
+                    "teacher_model": None},  # random frozen teacher: KD path runs
         "data": {"dataset": "cityscapes", "train_split": "train",
                  "val_split": "val", "path": root},
         "training": {
