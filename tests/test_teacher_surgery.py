@@ -179,3 +179,50 @@ def test_student_bootstrap_parity_via_reference_surgery():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=1e-6, err_msg="head"),
         got["paths"]["head"], want["paths"]["head"])
+
+
+def test_teacher_2p_parity_via_reference_surgery():
+    """Same as the 4p test but for pspnet_2p (the TD2 recipe's actual
+    teacher): split_psp_state_dict(path_num=2) loads only grp_state1/2
+    (pspnet_2p.py:102-107), no 4x group scale, no tuple crossing."""
+    putils = _ref_import("ptsemseg.utils")
+    p2p_mod = _ref_import("ptsemseg.models.td2_psp.pspnet_2p")
+    res_mod = _ref_import("ptsemseg.models.td4_psp.resnet")
+
+    sd = _make_source_psp_sd("resnet50", seed=27, inter=512)
+
+    def make_resnet(pretrained=False, **kw):
+        kw.pop("root", None)
+        return res_mod.ResNet(res_mod.Bottleneck, [3, 4, 6, 3], **kw)
+
+    p2p_mod.resnet101 = make_resnet
+    ref = p2p_mod.pspnet_2p(nclass=19, norm_layer=torch.nn.BatchNorm2d,
+                            backbone="resnet101", teacher_model=None,
+                            path_num=2, fixed=True)
+    (backbone_state, psp_state, g1, g2, _g3, _g4,
+     head_state, _aux) = putils.split_psp_state_dict(sd, 2)
+    ref.pretrained.load_state_dict(backbone_state, strict=True)
+    for i, gs in enumerate((g1, g2), 1):
+        getattr(ref, f"group{i}").load_state_dict(gs, strict=True)
+        getattr(ref, f"psp{i}").load_state_dict(psp_state, strict=True)
+    ref.head.load_state_dict(head_state, strict=True)
+    ref.eval()
+
+    from tdnet_tpu.models.teacher import TeacherConfig, apply_teacher
+    from tdnet_tpu.utils.surgery import teacher_from_psp_checkpoint
+
+    tcfg = TeacherConfig(nclass=19, backbone="resnet50", path_num=2)
+    sd_np = {k: np.asarray(v.numpy()) for k, v in sd.items()}
+    params = teacher_from_psp_checkpoint(sd_np, tcfg)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 3, *IN_HW).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(x))
+    got_outs = apply_teacher(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                             tcfg)
+    assert len(ref_outs) == len(got_outs) == 3
+    for i, (r, gt) in enumerate(zip(ref_outs, got_outs)):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(gt), (0, 3, 1, 2)), r.numpy(),
+            atol=2e-3, rtol=1e-3, err_msg=f"2p teacher output {i}")
