@@ -122,3 +122,53 @@ def test_streaming_parity_vs_reference(model_name, path_num, backbone):
             np.testing.assert_allclose(
                 got, ref_out, atol=2e-3, rtol=1e-3,
                 err_msg=f"{model_name} frame {i} (pos_id {p}) diverged")
+
+
+@pytest.mark.slow
+def test_full_geometry_streaming_parity():
+    """One pass at the reference's headline 769x1537 geometry: LN over the
+    hard-coded [97,193] grid (td4_psp18.py:107-110), 1225 kv tokens, and
+    the uneven {1,2,3,6} adaptive pools over 97/193 (td4_psp18.py:271-284)
+    — shapes the reduced-geometry tests never reach. Covers every path
+    with a warm cache on the last frame."""
+    in_hw = (769, 1537)
+    mod = _load_ref_module("td4_psp18")
+    ref = mod.td4_psp18(nclass=19, path_num=4, model_path=None)
+    _randomize(ref, seed=6)
+    # non-trivial LN affine (reference inits it to identity)
+    g = torch.Generator().manual_seed(9)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.LayerNorm):
+            with torch.no_grad():
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+    ref.eval()
+
+    cfg = TDNetConfig(nclass=19, backbone="resnet18", path_num=4,
+                      in_size=in_hw, kv_stride=4, pool_before_proj=True,
+                      aux=False)
+    assert cfg.feat_hw == (97, 193)
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in ref.state_dict().items()}
+    params = tdnet_from_torch(sd, cfg)
+
+    rng = np.random.RandomState(8)
+    frames = rng.randn(4, 1, 3, *in_hw).astype(np.float32) * 0.5
+
+    cache = init_cache(cfg, batch=1)
+    step = jax.jit(
+        lambda pp, ap, c, x, pid: stream_step(pp, ap, c, x, cfg, pid,
+                                              Ctx(train=False)),
+        static_argnames=("pid",))
+    with torch.no_grad():
+        for i, f in enumerate(frames):
+            p = i % 4
+            ref_out = ref(torch.from_numpy(f), pos_id=p).numpy()
+            pp = select_path(params["paths"], p)
+            ap = select_path(params["atn"], p)
+            x = jnp.asarray(np.transpose(f, (0, 2, 3, 1)))
+            out, cache = step(pp, ap, cache, x, cfg.psp_pid(p))
+            got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+            assert got.shape == ref_out.shape
+            np.testing.assert_allclose(
+                got, ref_out, atol=4e-3, rtol=1e-3,
+                err_msg=f"full-geometry frame {i} (pos_id {p}) diverged")
