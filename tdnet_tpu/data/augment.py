@@ -12,11 +12,31 @@ rscale, rotate, translate, ccrop, colorjtr, colornorm.
 
 from __future__ import annotations
 
+import math
 import numbers
 import random as _random
 
 import numpy as np
 from PIL import Image, ImageEnhance
+
+
+def tv_affine(img, angle, translate, resample, fillcolor):
+    """``torchvision.transforms.functional.affine`` (PIL backend) for
+    scale=1, shear=0 — the only form the reference uses
+    (augmentations.py:219-258): inverse-matrix ``Image.transform`` with
+    positive ``angle`` rotating CLOCKWISE about (w/2+0.5, h/2+0.5).
+    Note this is NOT ``PIL.Image.rotate`` (counter-clockwise, center
+    w/2,h/2); value parity with the reference needs this exact form."""
+    w, h = img.size
+    cx, cy = w * 0.5 + 0.5, h * 0.5 + 0.5
+    rot = math.radians(angle)
+    a, b = math.cos(rot), math.sin(rot)
+    m = [a, b, 0.0, -b, a, 0.0]
+    tx, ty = translate
+    m[2] = m[0] * (-cx - tx) + m[1] * (-cy - ty) + cx
+    m[5] = m[3] * (-cx - tx) + m[4] * (-cy - ty) + cy
+    return img.transform((w, h), Image.AFFINE, m, resample,
+                         fillcolor=fillcolor)
 
 from tdnet_tpu.data.streaming import IMAGENET_MEAN, IMAGENET_STD
 
@@ -124,9 +144,9 @@ class RandomRotate:
 
     def __call__(self, imgs, mask, rng):
         angle = rng.random() * 2 * self.degree - self.degree
-        out = [im.rotate(angle, resample=Image.BILINEAR, fillcolor=(0, 0, 0))
+        out = [tv_affine(im, angle, (0, 0), Image.BILINEAR, (0, 0, 0))
                for im in imgs]
-        mask = mask.rotate(angle, resample=Image.NEAREST, fillcolor=250)
+        mask = tv_affine(mask, angle, (0, 0), Image.NEAREST, 250)
         return out, mask
 
 
