@@ -30,9 +30,13 @@ def export_streaming_model(params: dict, cfg, path: str, *, batch: int = 1,
                            bake_params: bool = True) -> None:
     """Serialize all path variants of the streaming step to ``path``.
 
-    NOTE: Pallas custom calls export for the lowering platform; use
-    attn_impl='xla' for portable artifacts.
+    Platform pinning: ``attn_impl='xla'`` artifacts are lowered for BOTH
+    cpu and tpu (portable); ``attn_impl='pallas'`` emits a Mosaic custom
+    call and is pinned to tpu — it still exports fine from a CPU host
+    (cross-lowering), but ``ExportedStreamer`` will refuse to load it on
+    a non-TPU backend with a clear error.
     """
+    platforms = ("tpu",) if attn_impl == "pallas" else ("cpu", "tpu")
     stream_step_fn = model_stream_step(cfg)
     init_cache = model_init_cache(cfg)
     if dtype != jnp.float32:
@@ -60,7 +64,8 @@ def export_streaming_model(params: dict, cfg, path: str, *, batch: int = 1,
                                       Ctx(**ctx_kw))
             args = (pp, ap, cache, img)
 
-        exported = jax_export.export(jax.jit(fn))(*args)
+        exported = jax_export.export(jax.jit(fn),
+                                     platforms=list(platforms))(*args)
         blobs.append(exported.serialize())
 
     meta = {
@@ -70,6 +75,8 @@ def export_streaming_model(params: dict, cfg, path: str, *, batch: int = 1,
         "batch": batch,
         "dtype": str(jnp.dtype(dtype)),
         "bake_params": bake_params,
+        "attn_impl": attn_impl,
+        "platforms": platforms,
         "cache_spec": jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)), cache),
     }
@@ -88,6 +95,15 @@ class ExportedStreamer:
         assert self.meta["bake_params"], (
             "ExportedStreamer drives baked-params artifacts; for "
             "weight-swap artifacts call the deserialized steps directly")
+        platforms = tuple(self.meta.get("platforms", ("cpu", "tpu")))
+        backend = jax.default_backend()
+        if backend not in platforms:
+            raise RuntimeError(
+                f"artifact was lowered for {platforms} "
+                f"(attn_impl={self.meta.get('attn_impl', '?')!r}) but the "
+                f"current backend is {backend!r}; Pallas custom calls pin "
+                "the artifact to TPU — re-export with attn_impl='xla' for "
+                "a portable artifact")
         self._steps = [jax_export.deserialize(b).call
                        for b in blob["steps"]]
         shapes = self.meta["cache_spec"]

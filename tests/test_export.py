@@ -31,3 +31,45 @@ def test_export_roundtrip(tmp_path):
         got = es.step(f)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, rtol=1e-5, err_msg=f"frame {i}")
+
+
+def test_export_pallas_artifact_platform_pinning(tmp_path):
+    """A Pallas-built artifact cross-lowers for TPU from any host but is
+    platform-pinned: loading it on a non-TPU backend must fail loudly
+    with the documented message (deployment behavior spec)."""
+    import pytest
+
+    cfg = TDNetConfig(nclass=19, backbone="resnet10", path_num=2,
+                      in_size=(65, 129), kv_stride=3, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(1), cfg)
+    art = str(tmp_path / "stream_pallas.tdnet")
+    export_streaming_model(params, cfg, art, dtype=jnp.float32,
+                           fused_trunk=False, attn_impl="pallas")
+
+    import pickle
+    with open(art, "rb") as f:
+        meta = pickle.load(f)["meta"]
+    assert meta["platforms"] == ("tpu",)
+    assert meta["attn_impl"] == "pallas"
+
+    assert jax.default_backend() == "cpu"  # conftest forces CPU
+    with pytest.raises(RuntimeError, match="pin.*TPU|lowered for"):
+        ExportedStreamer(art)
+
+
+def test_export_xla_artifact_is_portable(tmp_path):
+    """attn_impl='xla' artifacts are lowered for cpu AND tpu; they load
+    and run on the CPU backend."""
+    cfg = TDNetConfig(nclass=19, backbone="resnet10", path_num=2,
+                      in_size=(65, 129), kv_stride=3, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(2), cfg)
+    art = str(tmp_path / "stream_xla.tdnet")
+    export_streaming_model(params, cfg, art, dtype=jnp.float32,
+                           fused_trunk=False, attn_impl="xla")
+    import pickle
+    with open(art, "rb") as f:
+        meta = pickle.load(f)["meta"]
+    assert meta["platforms"] == ("cpu", "tpu")
+    es = ExportedStreamer(art)
+    out = es.step(jnp.zeros((1, 65, 129, 3), jnp.float32))
+    assert out.shape == (1, 65, 129, 19)
