@@ -28,7 +28,7 @@ class Ctx:
     rng: jax.Array | None = None
     axis_name: str | None = None
     attn_impl: str = "xla"
-    stem_s2d: bool = False  # space-to-depth first conv (inference perf)
+    stem_impl: str = "xla"  # first-conv impl: xla | oct (im2col matmul) | s2d
     fused_trunk: bool = False  # z-free grouped-PSP+QKV path (inference perf)
     use_dropout: bool = True  # False: train-mode BN but no dropout (oracle tests)
     _n_rng: int = 0

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from tdnet_tpu.nn.module import Ctx
 from tdnet_tpu.ops import (conv2d, init_batch_norm, init_conv_msra_out,
                            max_pool)
-from tdnet_tpu.ops.conv import conv2d_stem_s2d
+from tdnet_tpu.ops.conv import conv2d_stem_oct, conv2d_stem_s2d
 
 _MULTI_DILATIONS = (4, 8, 16)
 
@@ -192,19 +192,25 @@ def apply_resnet(params: dict, x: jnp.ndarray, cfg: ResNetConfig, ctx: Ctx):
     """Returns (c3, c4, updated_params)."""
     np_ = dict(params)
     stem = dict(params["stem"])
+    stem_impl = ctx.stem_impl
+    if cfg.deep_base and stem_impl == "oct":
+        # 3x3 deep-base stems (27-deep contraction) measured slightly
+        # SLOWER with the im2col matmul on v5e (48.3 -> 47.1 FPS for
+        # TD2-PSP50 @1025x2049); the win is the channel-starved 7x7
+        # (TD4-PSP18 @769x1537: 131.5 -> 160.8 FPS).
+        stem_impl = "xla"
+    stem_conv = {"xla": lambda x, w, padding: conv2d(x, w, stride=2,
+                                                     padding=padding),
+                 "s2d": conv2d_stem_s2d,
+                 "oct": conv2d_stem_oct}[stem_impl]
     if cfg.deep_base:
-        if ctx.stem_s2d:
-            x = conv2d_stem_s2d(x, stem["conv0"]["w"], padding=1)
-        else:
-            x = conv2d(x, stem["conv0"]["w"], stride=2, padding=1)
+        x = stem_conv(x, stem["conv0"]["w"], padding=1)
         x, stem["bn0"] = ctx.bn(x, stem["bn0"], activation="relu")
         x = conv2d(x, stem["conv1"]["w"], padding=1)
         x, stem["bn1"] = ctx.bn(x, stem["bn1"], activation="relu")
         x = conv2d(x, stem["conv2"]["w"], padding=1)
-    elif ctx.stem_s2d:
-        x = conv2d_stem_s2d(x, stem["conv0"]["w"], padding=3)
     else:
-        x = conv2d(x, stem["conv0"]["w"], stride=2, padding=3)
+        x = stem_conv(x, stem["conv0"]["w"], padding=3)
     np_["stem"] = stem
     x, np_["bn1"] = ctx.bn(x, params["bn1"], activation="relu")
     x = max_pool(x, 3, 2, 1)

@@ -62,7 +62,7 @@ def fold_stem_conv_s2d(w: jnp.ndarray, padding: int):
     already arrives space-to-depth'd from the host (2.95 ms vs 3.9 ms
     isolated); a device-side relayout of the channels-minor image costs
     more than the conv saves, and inside the full model XLA's fused
-    stem is already fast. Default OFF (Ctx.stem_s2d) — kept as tooling
+    stem is already fast. Default OFF (Ctx.stem_impl="s2d") — kept as tooling
     for hosts that can emit blocked frames.
     """
     kh, kw, cin, cout = w.shape
@@ -103,6 +103,62 @@ def conv2d_stem_s2d(x: jnp.ndarray, w: jnp.ndarray, *, padding: int) -> jnp.ndar
         preferred_element_type=jnp.promote_types(x.dtype, w.dtype),
     )
     return y.astype(x.dtype)
+
+
+def conv2d_stem_oct(x: jnp.ndarray, w: jnp.ndarray, *, padding: int) -> jnp.ndarray:
+    """Stride-2 channel-starved stem conv as ONE dense MXU matmul.
+
+    The direct conv (3 input channels) runs at ~3% MXU utilization and
+    dominated the TD4-PSP18 streaming profile (1.6 of 7.1 ms/frame on
+    v5e). Reformulation: view each padded row as OCTETS of 8 pixels
+    (free minor-dim reshape to 8*cin=24 channels), take one strided
+    row-slice per row parity, and assemble an im2col matrix
+    ``q [oh, ow/4, kh*2*8*cin]`` from 2*kh shifted octet slices. Four
+    width-phases (wo mod 4) share the same 2-octet window, so a single
+    ``q @ w_packed [kh*16*cin, 4*cout]`` computes all of them and the
+    phase axis reshapes away for free. Exact same multiset of products
+    as the direct conv (result differs by float summation order only).
+
+    Measured on v5e at 769x1537x3 -> 64: 0.63 ms vs 2.13 ms isolated
+    (matmul itself 0.08 ms; the rest is the two strided row-slices and
+    the concat). Requires kernel size <= 10 (2f+dx < 16).
+    """
+    n, h, wd, cin = x.shape
+    kh, kw, _, co = w.shape
+    assert 2 * 3 + kw - 1 < 16, "width window must fit two octets"
+    oh = (h + 2 * padding - kh) // 2 + 1
+    ow = (wd + 2 * padding - kw) // 2 + 1
+    ow4 = (ow + 3) // 4
+    wp8 = 8 * (ow4 + 1)
+    nh = (kh + 1) // 2
+    hp = 2 * (oh + nh)
+
+    # packed weight: contraction (dy, oct 0|1, pixel-in-oct, cin),
+    # output (phase f, cout); tap dx of phase f reads pixel p = 2f+dx
+    wpk = jnp.zeros((kh, 2, 8, cin, 4, co), w.dtype)
+    for f in range(4):
+        for dx in range(kw):
+            p = 2 * f + dx
+            wpk = wpk.at[:, p // 8, p % 8, :, f, :].set(w[:, dx])
+    wpk = wpk.reshape(kh * 16 * cin, 4 * co)
+
+    xp = jnp.pad(x, ((0, 0), (padding, hp - h - padding),
+                     (padding, wp8 - wd - padding), (0, 0)))
+    E = lax.slice(xp, (0, 0, 0, 0), (n, hp - 1, wp8, cin), (1, 2, 1, 1))
+    O = lax.slice(xp, (0, 1, 0, 0), (n, hp, wp8, cin), (1, 2, 1, 1))
+    E = E.reshape(n, oh + nh, wp8 // 8, 8 * cin)
+    O = O.reshape(n, oh + nh, wp8 // 8, 8 * cin)
+    qs = []
+    for dy in range(kh):
+        src = E if dy % 2 == 0 else O
+        m0 = dy // 2
+        qs.append(lax.slice(src, (0, m0, 0, 0), (n, m0 + oh, ow4, 8 * cin)))
+        qs.append(lax.slice(src, (0, m0, 1, 0), (n, m0 + oh, 1 + ow4, 8 * cin)))
+    q = jnp.concatenate(qs, axis=-1)
+    out = jnp.matmul(q.reshape(-1, q.shape[-1]), wpk,
+                     preferred_element_type=jnp.promote_types(x.dtype, w.dtype))
+    out = out.astype(x.dtype).reshape(n, oh, ow4 * 4, co)
+    return lax.slice(out, (0, 0, 0, 0), (n, oh, ow, co))
 
 
 def init_conv_kaiming(key, kh: int, kw: int, cin: int, cout: int, *,

@@ -59,7 +59,7 @@ class Streamer:
 
     def __init__(self, params: dict, cfg, batch: int = 1,
                  dtype=jnp.float32, attn_impl: str = "xla",
-                 stem_s2d: bool = False, fused_trunk: bool = True,
+                 stem_impl: str = "oct", fused_trunk: bool = True,
                  donate_cache: bool = True):
         self.cfg = cfg
         self.dtype = dtype
@@ -84,7 +84,7 @@ class Streamer:
 
             def step(pp, ap, cache, img):
                 ctx = Ctx(train=False, attn_impl=attn_impl,
-                          stem_s2d=stem_s2d, fused_trunk=fused_trunk)
+                          stem_impl=stem_impl, fused_trunk=fused_trunk)
                 return self._stream_step(pp, ap, cache, img, cfg, pid, ctx)
 
             return jax.jit(step, donate_argnums=(2,) if donate_cache else ())

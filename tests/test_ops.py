@@ -154,3 +154,49 @@ def test_scaled_dot_attention():
     got = np.asarray(ops.scaled_dot_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), temperature=temp))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_conv2d_stem_oct_exact():
+    """Octet im2col stem == direct stride-2 conv (same products, sum
+    order only) for the 7x7 r18 stem and the 3x3 deep-base stem, on
+    awkward odd geometries."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tdnet_tpu.ops.conv import conv2d, conv2d_stem_oct
+
+    rng = np.random.RandomState(0)
+    for (h, w_), k, pad, cout in [((97, 193), 7, 3, 64), ((65, 129), 3, 1, 64),
+                                  ((96, 130), 7, 3, 32)]:
+        x = jnp.asarray(rng.randn(2, h, w_, 3).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, 3, cout).astype(np.float32) * 0.1)
+        want = conv2d(x, w, stride=2, padding=pad)
+        got = conv2d_stem_oct(x, w, padding=pad)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_stream_step_stem_oct_matches_xla():
+    """In-model equivalence of the oct stem: full streaming step output
+    identical (f32, sum-order tolerance) with stem_impl oct vs xla."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tdnet_tpu.models.tdnet import (TDNetConfig, init_cache, init_tdnet,
+                                        select_path, stream_step)
+    from tdnet_tpu.nn.module import Ctx
+
+    cfg = TDNetConfig(nclass=19, backbone="resnet18", path_num=4,
+                      in_size=(97, 193), kv_stride=4, pool_before_proj=True,
+                      aux=False)
+    params = init_tdnet(jax.random.PRNGKey(3), cfg)
+    pp = select_path(params["paths"], 0)
+    ap = select_path(params["atn"], 0)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 97, 193, 3), jnp.float32)
+    outs = {}
+    for impl in ("xla", "oct"):
+        out, _ = stream_step(pp, ap, init_cache(cfg, batch=1), x, cfg,
+                             cfg.psp_pid(0), Ctx(train=False, stem_impl=impl))
+        outs[impl] = np.asarray(out)
+    np.testing.assert_allclose(outs["oct"], outs["xla"], atol=1e-4, rtol=1e-4)
