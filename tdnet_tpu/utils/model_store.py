@@ -1,13 +1,17 @@
-"""Pretrained backbone store: SHA1-verified local cache + importers.
+"""Pretrained backbone store: download + SHA1-verified cache + importers.
 
 Reference (Training/ptsemseg/models/td4_psp/utils/{model_store,files}.py):
 ImageNet backbone weights come from torchvision URLs (resnet18/34) or
 the SHA1-pinned encoding model zoo (resnet50s/101s/152s with deep
-stems), cached under ~/.encoding/models. This environment has no
-egress, so this module resolves weights from local caches only —
-~/.encoding/models, $TORCH_HOME/hub/checkpoints, or an explicit path —
-verifies the SHA1 prefix when known, and converts the torch state dict
-into our backbone pytree.
+stems, shipped as .zip), cached under ~/.encoding/models
+(model_store.py:35-83, files.py:22-85). This module mirrors that
+capability: resolve from local caches first (~/.encoding/models,
+$TORCH_HOME/hub/checkpoints, or an explicit path), download on miss
+(``download()``; honors the reference's ``ENCODING_REPO`` env override,
+which also makes it testable offline via ``file://`` repos), verify the
+SHA1 prefix, and convert the torch state dict into our backbone pytree.
+When the environment has no egress the download fails with a clear
+error and the loaders surface a miss instead of crashing.
 
 torchvision checkpoints use the same layer naming as the reference's
 resnets (conv1/bn1/layerX.Y.{convZ,bnZ,downsample}) so
@@ -19,20 +23,37 @@ from __future__ import annotations
 
 import hashlib
 import os
+import zipfile
 
-# SHA1 prefixes from the reference zoo (model_store.py short_hash table)
-# and the torchvision download URLs.
+# Pinned digests. torchvision names carry the sha256 prefix embedded in
+# the torchvision filename convention; the "s" (deep-stem) variants
+# carry the full SHA1 from the reference zoo table
+# (td4_psp/utils/model_store.py:9-25, where the zoo's catalog names them
+# plain resnet50/101/152). Verification accepts a prefix match on either
+# digest, so both conventions go through one code path.
 KNOWN_SHA1 = {
     "resnet18": "5c106cde",
     "resnet34": "333f7ec4",
     "resnet50": "19c8e357",
     "resnet101": "5d3b4d8f",
     "resnet152": "b121ed2d",
-    # encoding-zoo deep-stem variants
-    "resnet50s": "ebb6acbb",
-    "resnet101s": "2a57e44d",
-    "resnet152s": "0d43d698",
+    # encoding-zoo deep-stem variants (reference model_store.py:10-12)
+    "resnet50s": "25c4b50959ef024fcc050213a06b614899f94b3d",
+    "resnet101s": "2a57e44de9c853fa015b172309a1ee7e2d0e4e2a",
+    "resnet152s": "0d43d698c66aceaa2bc0309f55efdd7ff4b143af",
 }
+
+# Download sources. torchvision ships flat .pth files; the encoding zoo
+# ships ``{name}-{short_hash}.zip`` archives containing the .pth
+# (reference model_store.py:27-28,69-78). The zoo's catalog names the
+# deep-stem models plain "resnet50/101/152" — map our "s" aliases onto
+# them. ENCODING_REPO overrides the zoo base URL (reference
+# model_store.py:70), which is also the offline-test hook (file://).
+TORCHVISION_URL = "https://download.pytorch.org/models/{name}-{sha}.pth"
+ENCODING_REPO_URL = "https://hangzh.s3.amazonaws.com/"
+ENCODING_URL_FORMAT = "{repo}encoding/models/{name}-{sha}.zip"
+ENCODING_ZOO_ALIAS = {"resnet50s": "resnet50", "resnet101s": "resnet101",
+                      "resnet152s": "resnet152"}
 
 
 def _candidate_dirs(root: str | None):
@@ -46,27 +67,108 @@ def _candidate_dirs(root: str | None):
     return dirs
 
 
-def check_sha1(filename: str, sha1_prefix: str) -> bool:
-    """reference files.py:86-102: compare against a hash prefix."""
-    sha1 = hashlib.sha1()
+def _digest(filename: str, algo: str) -> str:
+    h = hashlib.new(algo)
     with open(filename, "rb") as f:
         while True:
             data = f.read(1048576)
             if not data:
                 break
-            sha1.update(data)
-    digest = sha1.hexdigest()
-    l = min(len(digest), len(sha1_prefix))
-    return digest[:l] == sha1_prefix[:l]
+            h.update(data)
+    return h.hexdigest()
+
+
+def check_sha1(filename: str, sha1_prefix: str) -> bool:
+    """reference files.py:86-102, generalized: a file verifies when the
+    given hex prefix matches its SHA1 (encoding-zoo convention) or its
+    SHA256 (torchvision/torch.hub filename convention)."""
+    if not sha1_prefix:
+        return True
+    for algo in ("sha1", "sha256"):
+        digest = _digest(filename, algo)
+        l = min(len(digest), len(sha1_prefix))
+        if digest[:l] == sha1_prefix[:l]:
+            return True
+    return False
+
+
+def download(url: str, path: str | None = None, overwrite: bool = False,
+             sha1_hash: str | None = None) -> str:
+    """Fetch ``url`` to ``path`` and verify (reference files.py:22-85).
+
+    urllib-based (supports https and, for offline tests / local mirrors,
+    ``file://``). Raises on network failure or digest mismatch.
+    """
+    import urllib.request
+
+    if path is None:
+        fname = url.split("/")[-1]
+    else:
+        path = os.path.expanduser(path)
+        fname = (os.path.join(path, url.split("/")[-1])
+                 if os.path.isdir(path) else path)
+    if not overwrite and os.path.exists(fname) and (
+            sha1_hash is None or check_sha1(fname, sha1_hash)):
+        return fname
+    dirname = os.path.dirname(os.path.abspath(fname))
+    os.makedirs(dirname, exist_ok=True)
+    tmp = fname + ".part"
+    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+        while True:
+            chunk = r.read(1048576)
+            if not chunk:
+                break
+            f.write(chunk)
+    if sha1_hash and not check_sha1(tmp, sha1_hash):
+        os.remove(tmp)
+        raise ValueError(f"downloaded file for {url} has a different hash")
+    os.replace(tmp, fname)
+    return fname
+
+
+def _download_on_miss(name: str, root: str | None) -> str | None:
+    """Fetch ``name`` into the cache (reference model_store.py:53-83)."""
+    sha = KNOWN_SHA1.get(name)
+    if sha is None:
+        return None
+    dest = os.path.expanduser(root or "~/.encoding/models")
+    file_name = f"{name}-{sha[:8]}"
+    try:
+        if name in ENCODING_ZOO_ALIAS:  # zoo ships {zooname}-{hash}.zip
+            zoo = ENCODING_ZOO_ALIAS[name]
+            repo = os.environ.get("ENCODING_REPO", ENCODING_REPO_URL)
+            if not repo.endswith("/"):
+                repo += "/"
+            url = ENCODING_URL_FORMAT.format(repo=repo, name=zoo,
+                                             sha=sha[:8])
+            zip_path = os.path.join(dest, file_name + ".zip")
+            download(url, path=zip_path, overwrite=True)
+            with zipfile.ZipFile(zip_path) as zf:
+                zf.extractall(dest)
+            os.remove(zip_path)
+            pth = os.path.join(dest, f"{zoo}-{sha[:8]}.pth")
+            target = os.path.join(dest, file_name + ".pth")
+            if pth != target and os.path.exists(pth):
+                os.replace(pth, target)
+            if not check_sha1(target, sha):
+                raise ValueError(f"{target}: hash mismatch after download")
+            return target
+        url = TORCHVISION_URL.format(name=name, sha=sha[:8])
+        return download(url, path=os.path.join(dest, file_name + ".pth"),
+                        overwrite=True, sha1_hash=sha)
+    except Exception as e:  # no egress / bad mirror: clear miss, no crash
+        import warnings
+        warnings.warn(f"pretrained '{name}' not cached and download "
+                      f"failed ({e}); proceeding without it")
+        return None
 
 
 def get_model_file(name: str, root: str | None = None,
-                   verify: bool = True) -> str | None:
-    """Locate a cached pretrained checkpoint for ``name``; None if absent.
-
-    (The reference downloads on miss — model_store.py:35-83; with no
-    egress we surface a clear miss instead.)
-    """
+                   verify: bool = True,
+                   download_on_miss: bool = True) -> str | None:
+    """Locate a cached pretrained checkpoint for ``name``; on miss,
+    download it into the cache (reference model_store.py:35-83). Returns
+    None when absent and unfetchable (e.g. no egress)."""
     sha = KNOWN_SHA1.get(name)
     for d in _candidate_dirs(root):
         if not os.path.isdir(d):
@@ -81,6 +183,8 @@ def get_model_file(name: str, root: str | None = None,
                 if not check_sha1(path, stem.split("-")[1]):
                     continue
             return path
+    if download_on_miss:
+        return _download_on_miss(name, root)
     return None
 
 

@@ -47,6 +47,67 @@ def test_model_store(tmp_path, monkeypatch):
     assert model_store.get_model_file("resnet999", root=str(cache)) is None
 
 
+def test_model_store_download(tmp_path, monkeypatch):
+    """Download-on-miss (reference model_store.py:53-83) against a
+    file:// mirror: zoo .zip path, torchvision .pth path, and the
+    graceful no-egress miss."""
+    import io
+    import warnings
+    import zipfile
+
+    from tdnet_tpu.utils import model_store
+
+    # encoding-zoo path: {repo}encoding/models/resnet50-{sh8}.zip
+    payload = b"fake resnet50s checkpoint bytes"
+    sha = hashlib.sha1(payload).hexdigest()
+    repo = tmp_path / "mirror"
+    (repo / "encoding" / "models").mkdir(parents=True)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(f"resnet50-{sha[:8]}.pth", payload)
+    (repo / "encoding" / "models" / f"resnet50-{sha[:8]}.zip").write_bytes(
+        buf.getvalue())
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet50s", sha)
+    monkeypatch.setenv("ENCODING_REPO", f"file://{repo}/")
+    got = model_store.get_model_file("resnet50s", root=str(cache))
+    assert got == str(cache / f"resnet50s-{sha[:8]}.pth")
+    assert open(got, "rb").read() == payload
+    # second call: cache hit, no re-download (mirror can vanish)
+    monkeypatch.setenv("ENCODING_REPO", f"file://{tmp_path}/nowhere/")
+    assert model_store.get_model_file("resnet50s", root=str(cache)) == got
+
+    # torchvision path: flat .pth with sha256-prefix filename convention
+    tv = b"fake resnet18 torchvision bytes"
+    sha256 = hashlib.sha256(tv).hexdigest()
+    (repo / f"resnet18-{sha256[:8]}.pth").write_bytes(tv)
+    monkeypatch.setattr(model_store, "TORCHVISION_URL",
+                        f"file://{repo}/{{name}}-{{sha}}.pth")
+    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet18", sha256[:8])
+    cache2 = tmp_path / "cache2"
+    cache2.mkdir()
+    got2 = model_store.get_model_file("resnet18", root=str(cache2))
+    assert got2 is not None and open(got2, "rb").read() == tv
+
+    # hash mismatch -> rejected, warned, miss
+    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet18", "0" * 40)
+    cache3 = tmp_path / "cache3"
+    cache3.mkdir()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert model_store.get_model_file("resnet18", root=str(cache3)) is None
+    assert any("download failed" in str(x.message) for x in w)
+
+    # no egress / unreachable mirror -> graceful None
+    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet34", "12345678")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        monkeypatch.setattr(model_store, "TORCHVISION_URL",
+                            f"file://{tmp_path}/missing/{{name}}-{{sha}}.pth")
+        assert model_store.get_model_file("resnet34", root=str(cache3)) is None
+
+
 def test_optimizer_registry():
     import optax
     from tdnet_tpu.train.optim import get_optimizer
