@@ -1,0 +1,65 @@
+"""Path-parallel group streaming == serial streaming, frame for frame.
+
+P devices each own one sub-network; P consecutive frames are processed
+per super-step with only the cached token fields crossing the mesh
+(parallel/group_stream.py). Every frame's logits must match the serial
+single-device stream_step, including the cold-cache warmup frames.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tdnet_tpu.models.tdnet import (TDNetConfig, init_cache, init_tdnet,
+                                    select_path, stream_step)
+from tdnet_tpu.nn.module import Ctx
+from tdnet_tpu.parallel.group_stream import (make_group_stream_step,
+                                             make_path_mesh)
+
+
+def _serial(params, cfg, frames):
+    cache = init_cache(cfg)
+    outs = []
+    for t in range(frames.shape[0]):
+        p = t % cfg.path_num
+        out, cache = stream_step(
+            select_path(params["paths"], p), select_path(params["atn"], p),
+            cache, frames[t], cfg, cfg.psp_pid(p), Ctx(train=False))
+        outs.append(np.asarray(out))
+    return outs
+
+
+@pytest.mark.parametrize("path_num,in_size", [(4, (65, 129)), (2, (49, 97))])
+def test_group_stream_matches_serial(path_num, in_size):
+    cfg = TDNetConfig(nclass=7, backbone="resnet10", path_num=path_num,
+                      in_size=in_size, kv_stride=3, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(0), cfg)
+    n_groups = 2
+    frames = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (n_groups * path_num, 1, *cfg.in_size, 3), jnp.float32)
+
+    ref = _serial(params, cfg, frames)
+
+    mesh = make_path_mesh(path_num)
+    path_sh = NamedSharding(mesh, P("path"))
+    rep = NamedSharding(mesh, P())
+    paths = jax.tree.map(lambda x: jax.device_put(x, path_sh),
+                         params["paths"])
+    atn = jax.tree.map(lambda x: jax.device_put(x, path_sh), params["atn"])
+    cache = jax.tree.map(lambda x: jax.device_put(x, rep), init_cache(cfg))
+    step = make_group_stream_step(cfg, mesh, donate_cache=False)
+
+    got = []
+    for g in range(n_groups):
+        grp = jax.device_put(
+            frames[g * path_num:(g + 1) * path_num],
+            NamedSharding(mesh, P("path")))
+        out, cache = step(paths, atn, cache, grp)
+        got.extend(np.asarray(out))
+
+    for t, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5,
+                                   err_msg=f"frame {t}")
