@@ -52,6 +52,36 @@ def interp_matrix(in_size: int, out_size: int, align_corners: bool = True,
     return jnp.asarray(_interp_matrix_np(in_size, out_size, align_corners), dtype=dtype)
 
 
+def _upsample_axis_phased(x: jnp.ndarray, axis: int, k: int) -> jnp.ndarray:
+    """Exact align-corners k-x upsample along ``axis`` (f32 math).
+
+    With (out-1) = k*(in-1) the interpolation matrix has exactly two
+    nonzeros per row with k repeating weight phases: out[k*i + r] =
+    (1 - r/k)*in[i] + (r/k)*in[i+1]. Computing it as 2-tap mul-adds
+    (VPU, bandwidth-bound) instead of a dense [out, in] matmul skips
+    the in-2 zero products per output — bit-identical to the HIGHEST-
+    precision matmul since adding exact zeros never changes an f32 sum.
+    """
+    size = x.shape[axis]
+    sl = lambda s, e: tuple(slice(None) if d != axis else slice(s, e)
+                            for d in range(x.ndim))
+    a = x[sl(0, size - 1)]
+    b = x[sl(1, size)]
+    # phase weights r/k are exactly representable for the k <= 256 that
+    # occur here, in bf16 too; bf16 inputs stay bf16 (bandwidth-bound)
+    w1 = (jnp.arange(k, dtype=jnp.float32) / k).astype(x.dtype)
+    shape = [1] * (x.ndim + 1)
+    shape[axis + 1] = k
+    w1 = w1.reshape(shape)
+    a = jnp.expand_dims(a, axis + 1)
+    b = jnp.expand_dims(b, axis + 1)
+    y = a * (1 - w1) + b * w1                        # [..., in-1, k, ...]
+    new_shape = list(x.shape)
+    new_shape[axis] = (size - 1) * k
+    y = y.reshape(new_shape)
+    return jnp.concatenate([y, x[sl(size - 1, size)]], axis=axis)
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int],
                     align_corners: bool = True,
                     precision: str | None = None) -> jnp.ndarray:
@@ -60,18 +90,33 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int],
     Matches ``torch.nn.functional.interpolate(x, out_hw, mode='bilinear',
     align_corners=align_corners)`` bit-for-bit up to float associativity.
 
-    Precision: f32 inputs always use HIGHEST (TPU matmuls default to bf16
-    passes, which makes a convex combination overshoot its inputs — torch
-    parity needs full-f32 interpolation weights). bf16 inputs default to
-    the fast native-precision path: the data has 8 mantissa bits anyway,
-    and the big full-resolution logit upsamples are bandwidth-bound.
-    Pass ``precision='highest'`` to force exactness for bf16 too.
+    Integer-ratio align-corners upsamples (the reference's stride-8
+    output geometries: 129x257 -> 1025x2049 etc.) take an exact 2-tap
+    phase-decomposed path (see _upsample_axis_phased). Everything else
+    is the dense-matmul path. Precision there: f32 inputs always use
+    HIGHEST (TPU matmuls default to bf16 passes, which makes a convex
+    combination overshoot its inputs — torch parity needs full-f32
+    interpolation weights). bf16 inputs default to the fast
+    native-precision path: the data has 8 mantissa bits anyway, and the
+    big full-resolution logit upsamples are bandwidth-bound. Pass
+    ``precision='highest'`` to force exactness for bf16 too.
     """
     n, h, w, c = x.shape
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
     dt = x.dtype
+    if (align_corners and h > 1 and w > 1 and oh > h and ow > w
+            and (oh - 1) % (h - 1) == 0 and (ow - 1) % (w - 1) == 0
+            and (dt != jnp.bfloat16 or precision == "highest")):
+        # f32 exactness cases only: the 2-tap path beats the HIGHEST-
+        # precision dense matmul (f32 MXU passes) and is bit-identical
+        # to it. bf16 measured marginally faster on the dense bf16
+        # matmul (v5e, 129x257x19 -> 1025x2049), so it stays below.
+        y = x.astype(jnp.float32)
+        y = _upsample_axis_phased(y, 1, (oh - 1) // (h - 1))
+        y = _upsample_axis_phased(y, 2, (ow - 1) // (w - 1))
+        return y.astype(dt)
     if precision is None:
         precision = "fast" if dt == jnp.bfloat16 else "highest"
     if precision == "highest":
