@@ -45,8 +45,8 @@ def main():
     frames = jax.random.normal(key, (4, 1, *in_hw, 3), jnp.float32)
     labels = jnp.zeros((1, *in_hw), jnp.int32)
 
-    # compile + warmup
-    state, metrics = step(state, frames, labels, jnp.int32(0))
+    # compile + warmup (teacher_params attached: KD branch is live)
+    state, metrics = step(state, frames, labels, jnp.int32(0), teacher_params)
     hard_sync(metrics["loss"])
 
     n = 20
@@ -54,7 +54,8 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(n):
-            state, metrics = step(state, frames, labels, jnp.int32(i % 4))
+            state, metrics = step(state, frames, labels, jnp.int32(i % 4),
+                                  teacher_params)
         hard_sync(metrics["loss"])
         best = min(best, (time.perf_counter() - t0) / n)
 

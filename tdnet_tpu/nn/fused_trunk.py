@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from tdnet_tpu.nn.module import Ctx  # noqa: F401 (signature typing)
-from tdnet_tpu.ops import adaptive_avg_pool, batch_norm, conv2d
+from tdnet_tpu.ops import adaptive_avg_pool_multi, batch_norm, conv2d
 from tdnet_tpu.ops.resize import interp_matrix
 
 _BINS = (1, 2, 3, 6)
@@ -61,13 +61,16 @@ def _upsample_mat(x, ah, aw):
 
 
 def _psp_pieces(psp_params, c4, pid: int, groups: int):
-    """Pooled + projected + sliced pyramid branch maps (NOT upsampled)."""
+    """Pooled + projected + sliced pyramid branch maps (NOT upsampled).
+
+    The four pyramid pools share a single pass over c4
+    (adaptive_avg_pool_multi) instead of four full reads."""
     c = c4.shape[-1]
     gq = c // (groups * 4)
+    pooled = adaptive_avg_pool_multi(c4, _BINS)
     pieces = []
-    for i, bins in enumerate(_BINS):
+    for i, f in enumerate(pooled):
         br = psp_params[f"conv{i + 1}"]
-        f = adaptive_avg_pool(c4, bins)
         f = conv2d(f, br["conv"]["w"])
         f = batch_norm(f, br["bn"], train=False, activation="relu")
         pieces.append(f[..., pid * gq:(pid + 1) * gq])

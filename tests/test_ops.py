@@ -51,6 +51,17 @@ def test_adaptive_avg_pool(out_size, in_hw):
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("in_hw", [(97, 193), (33, 65), (8, 8)])
+def test_adaptive_avg_pool_multi(in_hw):
+    """One-pass pyramid pool matches torch per-bin adaptive pooling."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 5, *in_hw).astype(np.float32)
+    outs = ops.adaptive_avg_pool_multi(jnp.asarray(to_nhwc(x)), (1, 2, 3, 6))
+    for s, got in zip((1, 2, 3, 6), outs):
+        ref = F.adaptive_avg_pool2d(torch.from_numpy(x), s).numpy()
+        np.testing.assert_allclose(to_nchw(got), ref, atol=1e-5, rtol=1e-5)
+
+
 def test_grid_subsample_matches_stride_maxpool():
     rng = np.random.RandomState(2)
     x = rng.randn(1, 4, 97, 193).astype(np.float32)
