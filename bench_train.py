@@ -7,7 +7,9 @@ via AdaOptimizer. The reference publishes no wall-clock training number
 (BASELINE.md), so ``vs_baseline`` is null; the JSON line exists so the
 ms/step figure is machine-recorded every round (VERDICT r1 #7).
 
-Prints ONE JSON line. Run on the real TPU chip: ``python bench_train.py``.
+Prints ONE JSON line. Run on the real TPU chip: ``python bench_train.py``;
+``--bf16`` benches the opt-in mixed-precision mode (bf16 conv compute,
+f32 masters/stats/losses) under the same recipe.
 """
 
 from __future__ import annotations
@@ -36,10 +38,12 @@ def main():
         "loss": {"name": "OhemCELoss2D", "thresh": 0.7, "ignore_index": 250},
     })
 
+    bf16 = "--bf16" in sys.argv
     state = make_train_state(jax.random.PRNGKey(0), cfg, max_iter=40000)
     teacher_params = init_teacher(jax.random.PRNGKey(1), tcfg)
     step = make_train_step(cfg, teacher_cfg=tcfg, max_iter=40000,
-                           loss_fn=loss_fn)
+                           loss_fn=loss_fn,
+                           compute_dtype=jnp.bfloat16 if bf16 else None)
 
     key = jax.random.PRNGKey(2)
     frames = jax.random.normal(key, (4, 1, *in_hw, 3), jnp.float32)
@@ -59,8 +63,11 @@ def main():
         hard_sync(metrics["loss"])
         best = min(best, (time.perf_counter() - t0) / n)
 
+    metric = "td4_psp18_train_ms_per_step_769x1537_b1_ohem_kd_r101"
+    if bf16:
+        metric += "_bf16"
     print(json.dumps({
-        "metric": "td4_psp18_train_ms_per_step_769x1537_b1_ohem_kd_r101",
+        "metric": metric,
         "value": round(best * 1000.0, 1),
         "unit": "ms/step",
         "vs_baseline": None,  # reference publishes no training wall-clock

@@ -132,8 +132,15 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
         start_iter = int(state["it"])
         logger.info(f"resumed training state from '{resume_state}' "
                     f"at iter {start_iter}")
+    # opt-in mixed precision (TPU bf16 matmuls, f32 masters/stats/losses);
+    # absent from the reference schema, so the default stays full f32
+    compute_dtype = (jnp.bfloat16
+                     if cfg["training"].get("mixed_precision") else None)
+    if compute_dtype is not None:
+        logger.info("mixed-precision training: bf16 compute, f32 masters")
     step = make_train_step(mcfg, mesh, teacher_cfg=tcfg, max_iter=max_iter,
-                           loss_fn=loss_fn, opt_kwargs=opt_kwargs)
+                           loss_fn=loss_fn, opt_kwargs=opt_kwargs,
+                           compute_dtype=compute_dtype)
     eval_step = make_eval_step(mcfg)
     sh = train_shardings(mesh)
 

@@ -168,25 +168,44 @@ def fa_stream_step(path_params, atn_p, cache, img, cfg: FATDConfig, pid=None,
 
 
 def fa_clip_forward(params: dict, frames: jnp.ndarray, pos_id,
-                    cfg: FATDConfig, ctx: Ctx):
+                    cfg: FATDConfig, ctx: Ctx, *, unroll: bool = True):
     """Training twin (td2_fa.forward_path{1,2}); returns the same dict
-    shape as tdnet.clip_forward (no auxout)."""
+    shape as tdnet.clip_forward (no auxout). ``unroll`` as in
+    tdnet.clip_forward: separate per-path convs (default, fast on one
+    chip) vs one vmapped feature-grouped launch (path-sharded mesh)."""
     P = cfg.path_num
     pos_id = jnp.asarray(pos_id, jnp.int32)
     sub_ids = jnp.arange(P, dtype=jnp.int32)
     routed = jnp.take(frames, (sub_ids - pos_id - 1) % P, axis=0)
 
-    def trunk_one(sp, img):
-        return _fa_trunk(sp, img, cfg, ctx)
+    if unroll:
+        z_l, nsp_l, enc_l = [], [], []
+        for s in range(P):
+            sp = select_path(params["paths"], s)
+            z, nsp = _fa_trunk(sp, routed[s], cfg, ctx)
+            enc_l.append(apply_encoding_cached(
+                sp["enc"], z, ctx, kv_stride=cfg.kv_stride,
+                pool_before_proj=cfg.pool_before_proj))
+            z_l.append(z); nsp_l.append(nsp)
+        z_all = jnp.stack(z_l)
+        npaths = jax.tree.map(lambda *xs: jnp.stack(xs), *nsp_l)
+        q_all = jnp.stack([e[0] for e in enc_l])
+        k_all = jnp.stack([e[1] for e in enc_l])
+        v_all = jnp.stack([e[2] for e in enc_l])
+        nenc = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[e[3] for e in enc_l])
+    else:
+        def trunk_one(sp, img):
+            return _fa_trunk(sp, img, cfg, ctx)
 
-    z_all, npaths = jax.vmap(trunk_one)(params["paths"], routed)
+        z_all, npaths = jax.vmap(trunk_one)(params["paths"], routed)
 
-    def enc_cached_one(ep, z):
-        return apply_encoding_cached(ep, z, ctx, kv_stride=cfg.kv_stride,
-                                     pool_before_proj=cfg.pool_before_proj)
+        def enc_cached_one(ep, z):
+            return apply_encoding_cached(ep, z, ctx, kv_stride=cfg.kv_stride,
+                                         pool_before_proj=cfg.pool_before_proj)
 
-    q_all, k_all, v_all, nenc = jax.vmap(enc_cached_one)(
-        params["paths"]["enc"], z_all)
+        q_all, k_all, v_all, nenc = jax.vmap(enc_cached_one)(
+            params["paths"]["enc"], z_all)
 
     sel = select_path(params["paths"], pos_id)
     q_cur, v_cur, nenc_cur = apply_encoding_full(sel["enc"], z_all[pos_id], ctx)

@@ -32,6 +32,38 @@ DEFAULT_OPT = dict(lr0=1e-2, momentum=0.9, wd=1e-4, warmup_steps=1000,
                    warmup_start_lr=1e-5, power=0.9)
 
 
+def _cast_wb(tree, dtype):
+    """Cast conv/linear weights (leaf keys ``w``/``b``) to ``dtype``.
+
+    Norm affines and BN running stats (``scale``/``bias``/``mean``/``var``)
+    stay f32: ``batch_norm`` computes its moments and affine in f32 even
+    for low-precision activations, so statistics never round through bf16.
+    """
+    def cast(path, leaf):
+        k = path[-1]
+        if (isinstance(k, jax.tree_util.DictKey) and k.key in ("w", "b")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)):
+            return leaf.astype(dtype)
+        return leaf
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
+def _graft_bn_stats(master, updated):
+    """Graft BN running stats (``mean``/``var``) from a forward pass over a
+    low-precision weight cast back onto the f32 master tree. Every other
+    leaf keeps the master value — the forward only mutates BN stats, and
+    applying optimizer updates to cast weights would round the masters."""
+    upd = {jax.tree_util.keystr(p): l
+           for p, l in jax.tree_util.tree_flatten_with_path(updated)[0]}
+
+    def pick(path, m):
+        k = path[-1]
+        if isinstance(k, jax.tree_util.DictKey) and k.key in ("mean", "var"):
+            return upd[jax.tree_util.keystr(path)].astype(m.dtype)
+        return m
+    return jax.tree_util.tree_map_with_path(pick, master)
+
+
 def make_train_state(key, cfg: TDNetConfig, mesh=None, *, max_iter: int = 40000,
                      teacher: bool = False, opt_kwargs: dict | None = None,
                      params: dict | None = None) -> dict:
@@ -51,7 +83,8 @@ def make_train_state(key, cfg: TDNetConfig, mesh=None, *, max_iter: int = 40000,
 
 def make_loss_of(cfg: TDNetConfig, *,
                  teacher_cfg: TeacherConfig | None = None,
-                 loss_fn=None, axis_name=None, use_dropout: bool = True):
+                 loss_fn=None, axis_name=None, use_dropout: bool = True,
+                 compute_dtype=None, unroll: bool = True):
     """The assembled training loss (reference td4_psp.py:367-374):
     ``CE(out) + 0.5*CE(out_sub) [+ 0.1*CE(auxout)] + 1.0*KD`` where
     ``KD = KL(out||T_full) + 0.5*KL(out_sub||T_group_p)`` at the c4 grid.
@@ -59,6 +92,12 @@ def make_loss_of(cfg: TDNetConfig, *,
     Returns ``loss_of(params, frames, labels, pos_id, rng, teacher_params)
     -> (loss, {"updated_params", "kd"})``. ``use_dropout=False`` keeps
     train-mode BN but disables dropout (deterministic oracle testing).
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed-precision: conv weights
+    and activations are cast to bf16 for the forward/backward (4x MXU
+    rate on TPU), while master params, gradients, BN moments/running
+    stats and every loss term stay f32. OFF by default — the default
+    dataflow is the reference's full-f32 recipe.
     """
     if loss_fn is None:
         loss_fn = lambda lg, lb: cross_entropy(lg, lb, 250)
@@ -68,20 +107,29 @@ def make_loss_of(cfg: TDNetConfig, *,
     def loss_of(params, frames, labels, pos_id, rng, teacher_params):
         ctx = Ctx(train=True, rng=rng, axis_name=axis_name,
                   use_dropout=use_dropout)
-        res = fwd(params, frames, pos_id, cfg, ctx)
+        fparams, fframes = params, frames
+        if compute_dtype is not None:
+            fparams = _cast_wb(params, compute_dtype)
+            fframes = frames.astype(compute_dtype)
+        res = fwd(fparams, fframes, pos_id, cfg, ctx, unroll=unroll)
         loss = (loss_fn(res["out"], labels)
                 + 0.5 * loss_fn(res["out_sub"], labels))
         if cfg.aux:
             loss = loss + 0.1 * loss_fn(res["auxout"], labels)
         kd = jnp.zeros((), jnp.float32)
         if teacher_cfg is not None and teacher_params is not None:
-            t_out = apply_teacher(teacher_params, frames[-1], teacher_cfg)
+            tparams = (teacher_params if compute_dtype is None
+                       else _cast_wb(teacher_params, compute_dtype))
+            t_out = apply_teacher(tparams, fframes[-1], teacher_cfg)
             t_full, t_groups = t_out[0], jnp.stack(t_out[1:])
             t_grp = t_groups[pos_id]
             kd = (kl_divergence(res["out_lowres"], t_full)
                   + 0.5 * kl_divergence(res["out_sub_lowres"], t_grp))
             loss = loss + kd
-        aux = {"updated_params": res["updated_params"], "kd": kd}
+        updated = res["updated_params"]
+        if compute_dtype is not None:
+            updated = _graft_bn_stats(params, updated)
+        aux = {"updated_params": updated, "kd": kd}
         return loss, aux
 
     return loss_of
@@ -91,15 +139,22 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
                     teacher_cfg: TeacherConfig | None = None,
                     max_iter: int = 40000, loss_fn=None,
                     opt_kwargs: dict | None = None, axis_name=None,
-                    donate: bool = True):
+                    donate: bool = True, compute_dtype=None):
     """Returns jitted ``step(state, frames, labels, pos_id[, teacher_params])``.
 
     frames: [P, N, H, W, 3] float32 (f1..fP, oldest..current);
     labels: [N, H, W] int (current frame's ground truth).
+    ``compute_dtype=jnp.bfloat16`` opts into mixed-precision (see
+    ``make_loss_of``); default None is the reference f32 recipe.
     """
     opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
+    # unrolled per-path convs on an unsharded path axis (fast single-chip
+    # form); the vmapped/stacked form when the mesh partitions "path"
+    unroll = mesh is None or dict(zip(mesh.axis_names, mesh.devices.shape)
+                                  ).get("path", 1) == 1
     loss_of = make_loss_of(cfg, teacher_cfg=teacher_cfg, loss_fn=loss_fn,
-                           axis_name=axis_name)
+                           axis_name=axis_name, compute_dtype=compute_dtype,
+                           unroll=unroll)
 
     def step(state, frames, labels, pos_id, teacher_params=None):
         tx, schedule = ada_optimizer(state["params"], **opt_kwargs)
@@ -118,13 +173,14 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: TDNetConfig):
+def make_eval_step(cfg: TDNetConfig, *, unroll: bool = True):
     """Validation forward (training twin, eval mode): logits for fP."""
 
     fwd = model_clip_forward(cfg)
 
     def eval_step(params, frames, pos_id):
-        res = fwd(params, frames, pos_id, cfg, Ctx(train=False))
+        res = fwd(params, frames, pos_id, cfg, Ctx(train=False),
+                  unroll=unroll)
         return jnp.argmax(res["out"], axis=-1)
 
     return jax.jit(eval_step)
