@@ -84,7 +84,8 @@ def make_train_state(key, cfg: TDNetConfig, mesh=None, *, max_iter: int = 40000,
 def make_loss_of(cfg: TDNetConfig, *,
                  teacher_cfg: TeacherConfig | None = None,
                  loss_fn=None, axis_name=None, use_dropout: bool = True,
-                 compute_dtype=None, unroll: bool = True):
+                 compute_dtype=None, unroll: bool = True,
+                 stem_impl: str = "oct"):
     """The assembled training loss (reference td4_psp.py:367-374):
     ``CE(out) + 0.5*CE(out_sub) [+ 0.1*CE(auxout)] + 1.0*KD`` where
     ``KD = KL(out||T_full) + 0.5*KL(out_sub||T_group_p)`` at the c4 grid.
@@ -98,6 +99,14 @@ def make_loss_of(cfg: TDNetConfig, *,
     rate on TPU), while master params, gradients, BN moments/running
     stats and every loss term stay f32. OFF by default — the default
     dataflow is the reference's full-f32 recipe.
+
+    ``stem_impl="oct"`` (default) runs channel-starved 7x7/s2 stems as
+    one dense im2col matmul (ops/conv.py:conv2d_stem_oct) — same
+    multiset of products as the direct conv (float-sum order only), and
+    its weight gradient becomes a dense matmul too: XLA's conv-wgrad at
+    C_in=3 runs at ~1 TFLOP/s (22.7 of 255 ms/step across the 4 paths;
+    measured 255 -> 202 ms/step). The full-recipe loss oracle runs
+    against this default.
     """
     if loss_fn is None:
         loss_fn = lambda lg, lb: cross_entropy(lg, lb, 250)
@@ -106,7 +115,7 @@ def make_loss_of(cfg: TDNetConfig, *,
 
     def loss_of(params, frames, labels, pos_id, rng, teacher_params):
         ctx = Ctx(train=True, rng=rng, axis_name=axis_name,
-                  use_dropout=use_dropout)
+                  use_dropout=use_dropout, stem_impl=stem_impl)
         fparams, fframes = params, frames
         if compute_dtype is not None:
             fparams = _cast_wb(params, compute_dtype)
@@ -179,8 +188,8 @@ def make_eval_step(cfg: TDNetConfig, *, unroll: bool = True):
     fwd = model_clip_forward(cfg)
 
     def eval_step(params, frames, pos_id):
-        res = fwd(params, frames, pos_id, cfg, Ctx(train=False),
-                  unroll=unroll)
+        res = fwd(params, frames, pos_id, cfg,
+                  Ctx(train=False, stem_impl="oct"), unroll=unroll)
         return jnp.argmax(res["out"], axis=-1)
 
     return jax.jit(eval_step)
