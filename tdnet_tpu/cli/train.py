@@ -123,12 +123,29 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
     state = make_train_state(jax.random.PRNGKey(seed), mcfg, mesh,
                              max_iter=max_iter, opt_kwargs=opt_kwargs,
                              params=params)
+    # orbax: per-shard directory checkpoints, async (overlaps the write
+    # with training); pickle (default): one portable host file
+    orbax = cfg["training"].get("ckpt_backend") == "orbax"
     start_iter = 0
-    if resume_state and os.path.isfile(resume_state):
+    if resume_state and os.path.exists(resume_state):
         # resume-from-step (preemption recovery; exceeds the reference's
-        # best-only checkpointing, SURVEY.md 5.3)
-        saved = ckpt.load_pytree(resume_state)
-        state = jax.tree.map(jnp.asarray, saved)
+        # best-only checkpointing, SURVEY.md 5.3). Directory = orbax.
+        # orbax needs the template to restore tuple/NamedTuple structure
+        # (optax states) rather than plain lists
+        saved = (ckpt.load_pytree_orbax(resume_state, like=state)
+                 if os.path.isdir(resume_state)
+                 else ckpt.load_pytree(resume_state))
+        # re-place each leaf on its mesh sharding (scalars/rng replicated):
+        # a bare jnp.asarray would commit everything to one device and
+        # clash with the sharded opt_state inside the jitted step
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        state = jax.tree.map(
+            lambda tpl, x: jax.device_put(
+                jnp.asarray(x),
+                tpl.sharding if isinstance(getattr(tpl, "sharding", None),
+                                           NamedSharding) else rep),
+            state, saved)
         start_iter = int(state["it"])
         logger.info(f"resumed training state from '{resume_state}' "
                     f"at iter {start_iter}")
@@ -190,11 +207,23 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
                 logger.info(f"saved best checkpoint to {path}")
 
         if ckpt_interval and cnt_iter % ckpt_interval == 0:
-            ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"), state)
+            if orbax:
+                ckpt.save_pytree_orbax(
+                    os.path.join(logdir, "state_latest.orbax"), state,
+                    async_=True)
+            else:
+                ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"),
+                                 state)
             logger.info(f"periodic train-state checkpoint at iter {cnt_iter}")
 
         if cnt_iter >= stop_at:
-            ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"), state)
+            if orbax:
+                ckpt.save_pytree_orbax(
+                    os.path.join(logdir, "state_latest.orbax"), state)
+                ckpt.wait_pending_saves()
+            else:
+                ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"),
+                                 state)
             break
     return state, best_iou
 

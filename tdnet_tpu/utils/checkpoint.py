@@ -1,9 +1,17 @@
-"""Native checkpointing (host-side pickled numpy pytrees) + run management.
+"""Native checkpointing (pickle or Orbax) + run management.
 
 Covers the reference's best-mIoU checkpoint behavior
 (Training/train.py:136-146: save {epoch, model_state-sans-teacher,
 best_iou}) and exceeds it with step-tagged periodic saves for
 resume-after-preemption (SURVEY.md 5.3).
+
+Two backends:
+- pickle-of-numpy (default): single portable file, gathers to host.
+- Orbax (``save_pytree_orbax``/``load_pytree_orbax``): directory
+  checkpoints written per-shard straight from device memory — on a
+  mesh every host writes only its shards (no global gather), and
+  ``async_=True`` overlaps the write with the next training steps.
+  Select with ``training: ckpt_backend: orbax`` in the YAML config.
 """
 
 from __future__ import annotations
@@ -30,6 +38,59 @@ def save_pytree(path: str, tree) -> None:
 def load_pytree(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+_async_ckptr = None  # one AsyncCheckpointer per process (owns a thread pool)
+
+
+def _orbax_async():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def save_pytree_orbax(path: str, tree, *, async_: bool = False):
+    """Orbax checkpoint at directory ``path`` (replaced if it exists).
+
+    ``async_=True`` returns immediately after device arrays are copied
+    out; the serialize/write runs on a background thread (call
+    ``wait_pending_saves()`` or save again to join). Sharded arrays are
+    written per-shard without gathering to one host.
+    """
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    wait_pending_saves()  # the previous async save may still own ``path``
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    if async_:
+        _orbax_async().save(path, args=ocp.args.StandardSave(tree))
+        return
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+
+
+def wait_pending_saves() -> None:
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def load_pytree_orbax(path: str, like=None):
+    """Restore an Orbax checkpoint. ``like`` (a pytree of arrays or
+    jax.ShapeDtypeStructs with shardings) restores each leaf directly to
+    the given sharding/devices; without it leaves arrive as numpy."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is None:
+            return ckptr.restore(path)
+        target = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=getattr(x, "sharding", None)),
+            like)
+        return ckptr.restore(path, target)
 
 
 def save_best(logdir: str, arch: str, dataset: str, *, step: int,

@@ -102,3 +102,31 @@ def test_train_cli_end_to_end(synth_root, tmp_path, monkeypatch):
     import jax
     leaves = jax.tree.leaves(state["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_train_cli_orbax_checkpoint_and_resume(synth_root, tmp_path,
+                                               monkeypatch):
+    """ckpt_backend: orbax writes per-shard directory checkpoints on the
+    mesh; resume from the directory re-places every leaf on its mesh
+    sharding (a bare jnp.asarray resume clashes committed devices with
+    the sharded opt_state inside the jitted step)."""
+    from tdnet_tpu.cli.train import train
+    from tdnet_tpu.utils.checkpoint import get_logger, make_run_dir
+    from tdnet_tpu.utils.config import load_config
+
+    cfg_path = _tiny_config(synth_root, str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(cfg_path)
+    cfg["training"]["ckpt_backend"] = "orbax"
+    cfg["training"]["ckpt_interval"] = 2
+    cfg["training"]["train_iters"] = 6
+    cfg["training"]["optimizer"]["max_iter"] = 6
+    cfg["training"]["val_interval"] = 6
+    logdir = make_run_dir(cfg_path, base=str(tmp_path / "runs"))
+    logger = get_logger(logdir)
+    state, _ = train(cfg, logger, logdir, max_steps=4, path_parallel=4)
+    ck = os.path.join(logdir, "state_latest.orbax")
+    assert os.path.isdir(ck), "orbax directory checkpoint not written"
+    state2, _ = train(cfg, logger, logdir, max_steps=2, path_parallel=4,
+                      resume_state=ck)
+    assert int(state2["it"]) == int(state["it"]) + 2
