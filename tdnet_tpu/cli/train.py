@@ -179,8 +179,22 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
         time_meter.update(time.time() - t0)
 
         if (cnt_iter + 1) % cfg["training"]["print_interval"] == 0:
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # failure detection (SURVEY.md 5.3): halt on divergence
+                # with a state dump so the run is inspectable/resumable
+                # rather than silently training on NaNs. Checked at log
+                # cadence — the loss is already fetched here, and a
+                # per-step device->host read would serialize the loop.
+                dump = os.path.join(logdir, "state_nan_abort.pkl")
+                ckpt.save_pytree(dump, state)
+                logger.error(f"non-finite loss at iter {cnt_iter} "
+                             f"(loss={loss_val}); state dumped to {dump}")
+                raise FloatingPointError(
+                    f"non-finite training loss at iter {cnt_iter} "
+                    f"(state dumped to {dump})")
             msg = ("Iter [{:d}/{:d}]  Loss: {:.4f}  Time/Image: {:.4f}"
-                   .format(cnt_iter + 1, max_iter, float(metrics["loss"]),
+                   .format(cnt_iter + 1, max_iter, loss_val,
                            time_meter.avg / cfg["training"]["batch_size"]))
             print(msg)
             logger.info(msg)

@@ -104,6 +104,40 @@ def test_train_cli_end_to_end(synth_root, tmp_path, monkeypatch):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_train_cli_nan_guard(synth_root, tmp_path, monkeypatch):
+    """A non-finite loss halts the run with a FloatingPointError and a
+    state dump (failure detection, SURVEY.md 5.3) instead of silently
+    training on NaNs."""
+    import jax.numpy as jnp
+    import tdnet_tpu.train.trainer as trainer_mod
+    from tdnet_tpu.cli.train import train
+    from tdnet_tpu.utils.checkpoint import get_logger, make_run_dir
+    from tdnet_tpu.utils.config import load_config
+
+    real = trainer_mod.make_train_step
+
+    def poisoned(*a, **k):
+        step = real(*a, **k)
+
+        def bad_step(state, frames, labels, pos_id, teacher_params=None):
+            new_state, metrics = step(state, frames, labels, pos_id,
+                                      teacher_params)
+            metrics = {**metrics, "loss": jnp.float32(float("nan"))}
+            return new_state, metrics
+        return bad_step
+
+    monkeypatch.setattr(trainer_mod, "make_train_step", poisoned)
+    cfg_path = _tiny_config(synth_root, str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(cfg_path)
+    cfg["training"]["print_interval"] = 1
+    logdir = make_run_dir(cfg_path, base=str(tmp_path / "runs"))
+    logger = get_logger(logdir)
+    with pytest.raises(FloatingPointError):
+        train(cfg, logger, logdir, max_steps=2, path_parallel=4)
+    assert os.path.isfile(os.path.join(logdir, "state_nan_abort.pkl"))
+
+
 def test_train_cli_orbax_checkpoint_and_resume(synth_root, tmp_path,
                                                monkeypatch):
     """ckpt_backend: orbax writes per-shard directory checkpoints on the
