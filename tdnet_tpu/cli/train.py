@@ -126,14 +126,29 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
     # orbax: per-shard directory checkpoints, async (overlaps the write
     # with training); pickle (default): one portable host file
     orbax = cfg["training"].get("ckpt_backend") == "orbax"
+
+    def save_state_latest(final: bool = False):
+        if orbax:
+            # async except at exit: the write overlaps the next steps,
+            # and the crash-safe swap keeps the previous checkpoint
+            # restorable throughout (utils/checkpoint.py)
+            ckpt.save_pytree_orbax(
+                os.path.join(logdir, "state_latest.orbax"), state,
+                async_=not final)
+        else:
+            ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"),
+                             state)
+
     start_iter = 0
-    if resume_state and os.path.exists(resume_state):
+    resume_dir = ckpt.resolve_ckpt_dir(resume_state) if resume_state else None
+    if resume_state and (os.path.isdir(resume_dir)
+                         or os.path.isfile(resume_state)):
         # resume-from-step (preemption recovery; exceeds the reference's
         # best-only checkpointing, SURVEY.md 5.3). Directory = orbax.
         # orbax needs the template to restore tuple/NamedTuple structure
         # (optax states) rather than plain lists
-        saved = (ckpt.load_pytree_orbax(resume_state, like=state)
-                 if os.path.isdir(resume_state)
+        saved = (ckpt.load_pytree_orbax(resume_dir, like=state)
+                 if os.path.isdir(resume_dir)
                  else ckpt.load_pytree(resume_state))
         # re-place each leaf on its mesh sharding (scalars/rng replicated):
         # a bare jnp.asarray would commit everything to one device and
@@ -158,7 +173,7 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
     step = make_train_step(mcfg, mesh, teacher_cfg=tcfg, max_iter=max_iter,
                            loss_fn=loss_fn, opt_kwargs=opt_kwargs,
                            compute_dtype=compute_dtype)
-    eval_step = make_eval_step(mcfg)
+    eval_step = make_eval_step(mcfg, mesh)
     sh = train_shardings(mesh)
 
     running = RunningScore(t_ds.n_classes)
@@ -221,23 +236,11 @@ def train(cfg: dict, logger, logdir: str, *, max_steps: int | None = None,
                 logger.info(f"saved best checkpoint to {path}")
 
         if ckpt_interval and cnt_iter % ckpt_interval == 0:
-            if orbax:
-                ckpt.save_pytree_orbax(
-                    os.path.join(logdir, "state_latest.orbax"), state,
-                    async_=True)
-            else:
-                ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"),
-                                 state)
+            save_state_latest()
             logger.info(f"periodic train-state checkpoint at iter {cnt_iter}")
 
         if cnt_iter >= stop_at:
-            if orbax:
-                ckpt.save_pytree_orbax(
-                    os.path.join(logdir, "state_latest.orbax"), state)
-                ckpt.wait_pending_saves()
-            else:
-                ckpt.save_pytree(os.path.join(logdir, "state_latest.pkl"),
-                                 state)
+            save_state_latest(final=True)
             break
     return state, best_iou
 

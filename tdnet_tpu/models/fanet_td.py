@@ -179,6 +179,7 @@ def fa_clip_forward(params: dict, frames: jnp.ndarray, pos_id,
     routed = jnp.take(frames, (sub_ids - pos_id - 1) % P, axis=0)
 
     if unroll:
+        n_rng_before = ctx._n_rng
         z_l, nsp_l, enc_l = [], [], []
         for s in range(P):
             sp = select_path(params["paths"], s)
@@ -187,6 +188,9 @@ def fa_clip_forward(params: dict, frames: jnp.ndarray, pos_id,
                 sp["enc"], z, ctx, kv_stride=cfg.kv_stride,
                 pool_before_proj=cfg.pool_before_proj))
             z_l.append(z); nsp_l.append(nsp)
+        # per-path region must stay RNG-free (see tdnet.clip_forward)
+        assert ctx._n_rng == n_rng_before, \
+            "dropout/rng op inside the per-path trunk breaks unroll/vmap parity"
         z_all = jnp.stack(z_l)
         npaths = jax.tree.map(lambda *xs: jnp.stack(xs), *nsp_l)
         q_all = jnp.stack([e[0] for e in enc_l])

@@ -283,6 +283,7 @@ def clip_forward(params: dict, frames: jnp.ndarray, pos_id, cfg: TDNetConfig,
     pids = jnp.asarray([cfg.psp_pid(p) for p in range(P)], jnp.int32)
 
     if unroll:
+        n_rng_before = ctx._n_rng
         c3_l, z_l, nsp_l, enc_l = [], [], [], []
         for s in range(P):
             sp = select_path(params["paths"], s)
@@ -293,6 +294,11 @@ def clip_forward(params: dict, frames: jnp.ndarray, pos_id, cfg: TDNetConfig,
                 pool_before_proj=cfg.pool_before_proj)
             c3_l.append(c3); z_l.append(z); nsp_l.append(nsp)
             enc_l.append((q, k, v, nep))
+        # the per-path region must stay RNG-free: unrolled calls would
+        # advance ctx._n_rng P times where the vmapped form advances it
+        # once, silently desynchronizing dropout between the two forms
+        assert ctx._n_rng == n_rng_before, \
+            "dropout/rng op inside the per-path trunk breaks unroll/vmap parity"
         c3_all = jnp.stack(c3_l)
         z_all = jnp.stack(z_l)
         npaths = jax.tree.map(lambda *xs: jnp.stack(xs), *nsp_l)

@@ -47,14 +47,17 @@ def adaptive_avg_pool(x: jnp.ndarray, out_size: int | tuple[int, int]) -> jnp.nd
     return jnp.stack(rows, axis=1)  # [n, oh, ow, c]
 
 
-def _avg_matrix(inp: int, out: int, dtype) -> jnp.ndarray:
-    """[out, inp] row-stochastic matrix of torch adaptive-pool cell means."""
-    m = np.zeros((out, inp), np.float64)
+def _sum_matrix(inp: int, out: int, dtype):
+    """[out, inp] 0/1 cell-membership matrix of torch adaptive-pool
+    cells, plus the per-cell element counts [out]."""
+    m = np.zeros((out, inp), np.float32)
+    counts = np.zeros((out,), np.float32)
     for i in range(out):
         s = int(np.floor(i * inp / out))
         e = int(np.ceil((i + 1) * inp / out))
-        m[i, s:e] = 1.0 / (e - s)
-    return jnp.asarray(m, dtype)
+        m[i, s:e] = 1.0
+        counts[i] = e - s
+    return jnp.asarray(m, dtype), counts
 
 
 def adaptive_avg_pool_multi(x: jnp.ndarray, sizes: tuple[int, ...]):
@@ -62,25 +65,29 @@ def adaptive_avg_pool_multi(x: jnp.ndarray, sizes: tuple[int, ...]):
 
     ``adaptive_avg_pool`` reads the full input once per bin size (4x for
     the {1,2,3,6} pyramid — ~540 MB of HBM traffic on the TD2 c4 grid).
-    Here the per-bin H-averaging matrices are stacked into one [sum(b), H]
+    Here the per-bin H-summing matrices are stacked into one [sum(b), H]
     contraction (a single read of ``x``), then each bin's W contraction
     runs on the tiny [b, W, C] intermediate. Same cell semantics as
-    torch AdaptiveAvgPool2d; mean-as-weighted-matmul differs from
-    sum-then-divide only in float rounding (f32 HIGHEST for f32 inputs).
+    torch AdaptiveAvgPool2d, exact to float-sum order: the matrices are
+    0/1 (sums, no weight rounding) and each cell is divided once by its
+    exact integer-valued count, like sum-then-divide.
     Returns a list of [n, s, s, c] arrays in ``sizes`` order.
     """
     n, h, w, c = x.shape
     bf16 = x.dtype == jnp.bfloat16
     prec = None if bf16 else jax.lax.Precision.HIGHEST
     cdt = x.dtype if bf16 else jnp.float32
-    rh = jnp.concatenate([_avg_matrix(h, s, cdt) for s in sizes])
+    hmats = [_sum_matrix(h, s, cdt) for s in sizes]
+    rh = jnp.concatenate([m for m, _ in hmats])
     y = jnp.einsum("bh,nhwc->nbwc", rh, x.astype(cdt), precision=prec)
     outs = []
     off = 0
-    for s in sizes:
-        rw = _avg_matrix(w, s, cdt)
+    for (_, ch), s in zip(hmats, sizes):
+        rw, cw = _sum_matrix(w, s, cdt)
         t = jnp.einsum("ow,nbwc->nboc", rw, y[:, off:off + s],
                        precision=prec)
+        denom = jnp.asarray(ch[:, None] * cw[None, :], jnp.float32)
+        t = t.astype(jnp.float32) / denom[None, :, :, None]
         outs.append(t.astype(x.dtype))
         off += s
     return outs

@@ -64,6 +64,15 @@ def _graft_bn_stats(master, updated):
     return jax.tree_util.tree_map_with_path(pick, master)
 
 
+def _mesh_unroll(mesh) -> bool:
+    """Unrolled per-path convs on an unsharded path axis (fast
+    single-chip form); the vmapped/stacked form when the mesh partitions
+    "path" — static indexing of a path-sharded axis would gather every
+    sub-network's params to all devices."""
+    return mesh is None or dict(zip(mesh.axis_names, mesh.devices.shape)
+                                ).get("path", 1) == 1
+
+
 def make_train_state(key, cfg: TDNetConfig, mesh=None, *, max_iter: int = 40000,
                      teacher: bool = False, opt_kwargs: dict | None = None,
                      params: dict | None = None) -> dict:
@@ -157,13 +166,9 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
     ``make_loss_of``); default None is the reference f32 recipe.
     """
     opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
-    # unrolled per-path convs on an unsharded path axis (fast single-chip
-    # form); the vmapped/stacked form when the mesh partitions "path"
-    unroll = mesh is None or dict(zip(mesh.axis_names, mesh.devices.shape)
-                                  ).get("path", 1) == 1
     loss_of = make_loss_of(cfg, teacher_cfg=teacher_cfg, loss_fn=loss_fn,
                            axis_name=axis_name, compute_dtype=compute_dtype,
-                           unroll=unroll)
+                           unroll=_mesh_unroll(mesh))
 
     def step(state, frames, labels, pos_id, teacher_params=None):
         tx, schedule = ada_optimizer(state["params"], **opt_kwargs)
@@ -182,9 +187,11 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: TDNetConfig, *, unroll: bool = True):
-    """Validation forward (training twin, eval mode): logits for fP."""
-
+def make_eval_step(cfg: TDNetConfig, mesh=None, *, unroll: bool | None = None):
+    """Validation forward (training twin, eval mode): logits for fP.
+    ``unroll`` follows the mesh like make_train_step unless forced."""
+    if unroll is None:
+        unroll = _mesh_unroll(mesh)
     fwd = model_clip_forward(cfg)
 
     def eval_step(params, frames, pos_id):

@@ -41,6 +41,7 @@ def load_pytree(path: str):
 
 
 _async_ckptr = None  # one AsyncCheckpointer per process (owns a thread pool)
+_pending_swap = None  # (written_tmp_dir, final_dir) of the in-flight async save
 
 
 def _orbax_async():
@@ -51,30 +52,72 @@ def _orbax_async():
     return _async_ckptr
 
 
+def _swap_in(tmp: str, final: str) -> None:
+    """Promote a finished checkpoint at ``tmp`` to ``final``. The old
+    ``final`` survives (as ``final.old``) until the new one is in place,
+    so no crash window leaves zero resumable checkpoints."""
+    import shutil
+    old = final + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def save_pytree_orbax(path: str, tree, *, async_: bool = False):
     """Orbax checkpoint at directory ``path`` (replaced if it exists).
 
+    Crash-safe replacement: the new checkpoint is written to
+    ``path.new`` first and only swapped in once complete — the previous
+    ``path`` remains restorable throughout (preemption during the write
+    must not destroy the only checkpoint, SURVEY.md 5.3).
+
     ``async_=True`` returns immediately after device arrays are copied
-    out; the serialize/write runs on a background thread (call
-    ``wait_pending_saves()`` or save again to join). Sharded arrays are
-    written per-shard without gathering to one host.
+    out; the serialize/write runs on a background thread and the swap
+    happens at the next ``wait_pending_saves()`` (or next save). Sharded
+    arrays are written per-shard without gathering to one host.
     """
+    global _pending_swap
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
-    wait_pending_saves()  # the previous async save may still own ``path``
-    if os.path.exists(path):
+    wait_pending_saves()  # join + swap any previous async save
+    tmp = path + ".new"
+    if os.path.exists(tmp):
         import shutil
-        shutil.rmtree(path)
+        shutil.rmtree(tmp)
     if async_:
-        _orbax_async().save(path, args=ocp.args.StandardSave(tree))
+        _orbax_async().save(tmp, args=ocp.args.StandardSave(tree))
+        _pending_swap = (tmp, path)
         return
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, tree)
+        ckptr.save(tmp, tree)
+    _swap_in(tmp, path)
 
 
 def wait_pending_saves() -> None:
+    """Join the in-flight async orbax save (if any) and swap it in."""
+    global _pending_swap
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
+    if _pending_swap is not None:
+        tmp, final = _pending_swap
+        _pending_swap = None
+        _swap_in(tmp, final)
+
+
+def resolve_ckpt_dir(path: str) -> str:
+    """Pick the newest complete checkpoint among ``path`` and the
+    crash-window leftovers. Orbax itself commits atomically (tmp name +
+    rename), so an existing ``path.new`` directory is always complete
+    AND newer than ``path`` (crash after commit, before our swap);
+    ``path.old`` only survives a crash mid-swap."""
+    for p in (path + ".new", path, path + ".old"):
+        if os.path.isdir(p):
+            return p
+    return path
 
 
 def load_pytree_orbax(path: str, like=None):
@@ -82,7 +125,7 @@ def load_pytree_orbax(path: str, like=None):
     jax.ShapeDtypeStructs with shardings) restores each leaf directly to
     the given sharding/devices; without it leaves arrive as numpy."""
     import orbax.checkpoint as ocp
-    path = os.path.abspath(path)
+    path = resolve_ckpt_dir(os.path.abspath(path))
     with ocp.StandardCheckpointer() as ckptr:
         if like is None:
             return ckptr.restore(path)

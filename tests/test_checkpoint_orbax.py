@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+pytest.importorskip("orbax.checkpoint")
+
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +61,8 @@ def test_async_save_then_load(sharded_state, tmp_path):
 
 
 def test_repeated_async_saves_same_path(sharded_state, tmp_path):
+    """The CLI's state_latest pattern: repeated async saves serialize
+    (each joins + swaps in the previous) and the last write wins."""
     path = str(tmp_path / "state_latest.orbax")
     for i in range(3):
         bumped = {**sharded_state, "it": sharded_state["it"] + i}
@@ -66,3 +70,26 @@ def test_repeated_async_saves_same_path(sharded_state, tmp_path):
     ckpt.wait_pending_saves()
     restored = ckpt.load_pytree_orbax(path)
     assert int(restored["it"]) == 2
+    assert not os.path.exists(path + ".new")
+    assert not os.path.exists(path + ".old")
+
+
+def test_crash_windows_never_lose_a_checkpoint(sharded_state, tmp_path):
+    """Every crash window of the write-new-then-swap protocol leaves a
+    restorable checkpoint, and the resolver picks the newest complete
+    one: ``path.new`` (orbax committed it before the swap ran) beats
+    ``path``; ``path.old`` (displaced mid-swap) is the fallback."""
+    base = str(tmp_path / "state_latest.orbax")
+    v0 = {**sharded_state, "it": sharded_state["it"] + 0}
+    v1 = {**sharded_state, "it": sharded_state["it"] + 1}
+
+    # crash after orbax committed the new write, before the swap:
+    ckpt.save_pytree_orbax(base, v0)
+    ckpt.save_pytree_orbax(base + ".new", v1)  # simulate unswapped .new
+    assert int(ckpt.load_pytree_orbax(base)["it"]) == 1
+
+    # crash mid-swap: only the displaced old checkpoint remains
+    import shutil
+    shutil.rmtree(base + ".new")
+    os.rename(base, base + ".old")
+    assert int(ckpt.load_pytree_orbax(base)["it"]) == 0

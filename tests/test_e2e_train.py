@@ -144,6 +144,7 @@ def test_train_cli_orbax_checkpoint_and_resume(synth_root, tmp_path,
     mesh; resume from the directory re-places every leaf on its mesh
     sharding (a bare jnp.asarray resume clashes committed devices with
     the sharded opt_state inside the jitted step)."""
+    pytest.importorskip("orbax.checkpoint")
     from tdnet_tpu.cli.train import train
     from tdnet_tpu.utils.checkpoint import get_logger, make_run_dir
     from tdnet_tpu.utils.config import load_config
