@@ -106,7 +106,14 @@ def grid_subsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
 
 def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2,
              padding: int = 1) -> jnp.ndarray:
-    """torch MaxPool2d(window, stride, padding) over NHWC."""
+    """torch MaxPool2d(window, stride, padding) over NHWC.
+
+    Keep the native VJP: its select-and-scatter backward looks slow in
+    profiles (~2.4 ms per stem grad) but a mask-based first-max rewrite
+    using strided scatter-adds measured WORSE end-to-end (TD4 training
+    202 -> 245 ms/step) — TPU strided .at[::2].add relayouts cost more
+    than select-and-scatter.
+    """
     # -inf (not finfo.min) as init: JAX's reduce_window max VJP rule
     # requires the identity element to be recognized for differentiation.
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
