@@ -339,8 +339,13 @@ def clip_forward(params: dict, frames: jnp.ndarray, pos_id, cfg: TDNetConfig,
 
     feat = layer_norm_2d(v_prop + v_cur, sel["ln"])
     feat_sub = layer_norm_2d(v_cur, sel["ln"])
-    out_lr, nhead = apply_fcn_head(sel["head"], feat, ctx)
-    out_sub_lr, _ = apply_fcn_head(sel["head"], feat_sub, ctx)
+    # The reference runs the SAME head twice per step — out then out_sub
+    # (td4_psp.py:167-171) — so its BN running stats absorb two updates;
+    # chain the second call off the first call's updated stats to match.
+    # (Train-mode outputs normalize with batch stats, so this only
+    # affects the running buffers, never activations or gradients.)
+    out_lr, nhead1 = apply_fcn_head(sel["head"], feat, ctx)
+    out_sub_lr, nhead = apply_fcn_head(nhead1, feat_sub, ctx)
 
     out = resize_bilinear(out_lr, cfg.in_size)
     out_sub = resize_bilinear(out_sub_lr, cfg.in_size)
@@ -360,6 +365,17 @@ def clip_forward(params: dict, frames: jnp.ndarray, pos_id, cfg: TDNetConfig,
         paths = dict(npaths)
         paths["enc"] = jax.tree.map(
             lambda full, cur: full.at[pos_id].set(cur), nenc, nenc_cur)
+        # The sub-network processing the OLDEST frame never runs w_qs in
+        # the reference — td4 passes start=True there (no q returned,
+        # td4_psp/transformer.py:45-50) and td2's pre=True computes only
+        # (k, v) (td2_psp/transformer.py:35-44) — so its w_qs BN running
+        # stats must not update. (Its q output is unused in the hop chain
+        # either way; this only affects eval-mode statistics.)
+        enc = dict(paths["enc"])
+        enc["w_qs"] = jax.tree.map(
+            lambda merged, orig: merged.at[sigma[0]].set(orig[sigma[0]]),
+            enc["w_qs"], params["paths"]["enc"]["w_qs"])
+        paths["enc"] = enc
         upd = {"head": nhead, "ln": sel["ln"]}
         if cfg.aux:
             upd["aux"] = naux

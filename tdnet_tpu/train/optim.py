@@ -16,9 +16,60 @@ conv dict get decay; 'b', 'scale', 'bias' do not; BN running stats
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import optax
+
+
+class AsgdState(NamedTuple):
+    count: jnp.ndarray   # completed update calls
+    ax: optax.Params     # Polyak-averaged iterate (torch's state['ax'])
+
+
+def asgd(lr: float = 1e-2, lambd: float = 1e-4, alpha: float = 0.75,
+         t0: float = 1e6, weight_decay: float = 0.0):
+    """torch.optim.ASGD semantics (averaged SGD, Polyak & Juditsky).
+
+    Mirrors torch's `_single_tensor_asgd`: at update call k (0-indexed),
+      eta_k = lr / (1 + lambd*lr*k)^alpha
+      p    <- p*(1 - lambd*eta_k) - eta_k*(g + wd*p)
+      mu_k = 1 for k=0 else 1/max(1, k - t0)
+      ax   <- ax + mu_k*(p - ax)
+    The *returned updates* move the live params (as torch does — the
+    averaged iterate is kept in state, not swapped in); read it with
+    ``asgd_averaged_params(opt_state)``.
+    """
+
+    def init(params):
+        return AsgdState(count=jnp.zeros((), jnp.int32),
+                         ax=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("asgd requires params")
+        k = state.count.astype(jnp.float32)
+        eta = lr / (1.0 + lambd * lr * k) ** alpha
+        mu = jnp.where(state.count >= 1,
+                       1.0 / jnp.maximum(1.0, k - t0), 1.0)
+
+        def upd(g, p):
+            g = g + weight_decay * p
+            new_p = p * (1.0 - lambd * eta) - eta * g
+            return new_p - p
+
+        updates = jax.tree.map(upd, grads, params)
+        new_ax = jax.tree.map(lambda a, p, u: a + mu * (p + u - a),
+                              state.ax, params, updates)
+        return updates, AsgdState(count=state.count + 1, ax=new_ax)
+
+    return optax.GradientTransformation(init, update)
+
+
+def asgd_averaged_params(opt_state: AsgdState):
+    """The averaged iterate (torch exposes it as state['ax'])."""
+    return opt_state.ax
 
 
 def warmup_poly_schedule(lr0: float, warmup_start_lr: float,
@@ -57,7 +108,7 @@ KEY2OPT = {
         optax.chain(optax.add_decayed_weights(weight_decay),
                     optax.sgd(lr, momentum=momentum or None)),
     "adam": lambda lr=1e-3, **kw: optax.adam(lr, **kw),
-    "asgd": lambda lr=1e-2, **kw: optax.sgd(lr),  # averaged-SGD: plain SGD
+    "asgd": lambda lr=1e-2, **kw: asgd(lr, **kw),
     "adamax": lambda lr=2e-3, **kw: optax.adamax(lr, **kw),
     "adadelta": lambda lr=1.0, **kw: optax.adadelta(lr, **kw),
     "adagrad": lambda lr=1e-2, **kw: optax.adagrad(lr, **kw),

@@ -25,22 +25,22 @@ import hashlib
 import os
 import zipfile
 
-# Pinned digests. torchvision names carry the sha256 prefix embedded in
-# the torchvision filename convention; the "s" (deep-stem) variants
-# carry the full SHA1 from the reference zoo table
-# (td4_psp/utils/model_store.py:9-25, where the zoo's catalog names them
-# plain resnet50/101/152). Verification accepts a prefix match on either
-# digest, so both conventions go through one code path.
-KNOWN_SHA1 = {
-    "resnet18": "5c106cde",
-    "resnet34": "333f7ec4",
-    "resnet50": "19c8e357",
-    "resnet101": "5d3b4d8f",
-    "resnet152": "b121ed2d",
+# Pinned digests, tagged with their algorithm. torchvision names carry
+# a sha256 prefix embedded in the torchvision filename convention; the
+# "s" (deep-stem) variants carry the full SHA1 from the reference zoo
+# table (td4_psp/utils/model_store.py:9-25, where the zoo's catalog
+# names them plain resnet50/101/152). Each entry verifies against its
+# own digest only — a prefix is never given two algorithms to match.
+KNOWN_DIGESTS = {
+    "resnet18": ("sha256", "5c106cde"),
+    "resnet34": ("sha256", "333f7ec4"),
+    "resnet50": ("sha256", "19c8e357"),
+    "resnet101": ("sha256", "5d3b4d8f"),
+    "resnet152": ("sha256", "b121ed2d"),
     # encoding-zoo deep-stem variants (reference model_store.py:10-12)
-    "resnet50s": "25c4b50959ef024fcc050213a06b614899f94b3d",
-    "resnet101s": "2a57e44de9c853fa015b172309a1ee7e2d0e4e2a",
-    "resnet152s": "0d43d698c66aceaa2bc0309f55efdd7ff4b143af",
+    "resnet50s": ("sha1", "25c4b50959ef024fcc050213a06b614899f94b3d"),
+    "resnet101s": ("sha1", "2a57e44de9c853fa015b172309a1ee7e2d0e4e2a"),
+    "resnet152s": ("sha1", "0d43d698c66aceaa2bc0309f55efdd7ff4b143af"),
 }
 
 # Download sources. torchvision ships flat .pth files; the encoding zoo
@@ -78,22 +78,19 @@ def _digest(filename: str, algo: str) -> str:
     return h.hexdigest()
 
 
-def check_sha1(filename: str, sha1_prefix: str) -> bool:
-    """reference files.py:86-102, generalized: a file verifies when the
-    given hex prefix matches its SHA1 (encoding-zoo convention) or its
-    SHA256 (torchvision/torch.hub filename convention)."""
+def check_sha1(filename: str, sha1_prefix: str, algo: str = "sha1") -> bool:
+    """reference files.py:86-102: a file verifies when the given hex
+    prefix matches its digest under ``algo`` (sha1 for the encoding-zoo
+    convention, sha256 for torchvision/torch.hub filenames)."""
     if not sha1_prefix:
         return True
-    for algo in ("sha1", "sha256"):
-        digest = _digest(filename, algo)
-        l = min(len(digest), len(sha1_prefix))
-        if digest[:l] == sha1_prefix[:l]:
-            return True
-    return False
+    digest = _digest(filename, algo)
+    l = min(len(digest), len(sha1_prefix))
+    return digest[:l] == sha1_prefix[:l]
 
 
 def download(url: str, path: str | None = None, overwrite: bool = False,
-             sha1_hash: str | None = None) -> str:
+             sha1_hash: str | None = None, algo: str = "sha1") -> str:
     """Fetch ``url`` to ``path`` and verify (reference files.py:22-85).
 
     urllib-based (supports https and, for offline tests / local mirrors,
@@ -108,7 +105,7 @@ def download(url: str, path: str | None = None, overwrite: bool = False,
         fname = (os.path.join(path, url.split("/")[-1])
                  if os.path.isdir(path) else path)
     if not overwrite and os.path.exists(fname) and (
-            sha1_hash is None or check_sha1(fname, sha1_hash)):
+            sha1_hash is None or check_sha1(fname, sha1_hash, algo)):
         return fname
     dirname = os.path.dirname(os.path.abspath(fname))
     os.makedirs(dirname, exist_ok=True)
@@ -119,7 +116,7 @@ def download(url: str, path: str | None = None, overwrite: bool = False,
             if not chunk:
                 break
             f.write(chunk)
-    if sha1_hash and not check_sha1(tmp, sha1_hash):
+    if sha1_hash and not check_sha1(tmp, sha1_hash, algo):
         os.remove(tmp)
         raise ValueError(f"downloaded file for {url} has a different hash")
     os.replace(tmp, fname)
@@ -128,9 +125,10 @@ def download(url: str, path: str | None = None, overwrite: bool = False,
 
 def _download_on_miss(name: str, root: str | None) -> str | None:
     """Fetch ``name`` into the cache (reference model_store.py:53-83)."""
-    sha = KNOWN_SHA1.get(name)
-    if sha is None:
+    algo_sha = KNOWN_DIGESTS.get(name)
+    if algo_sha is None:
         return None
+    algo, sha = algo_sha
     dest = os.path.expanduser(root or "~/.encoding/models")
     file_name = f"{name}-{sha[:8]}"
     try:
@@ -143,20 +141,29 @@ def _download_on_miss(name: str, root: str | None) -> str | None:
                                              sha=sha[:8])
             zip_path = os.path.join(dest, file_name + ".zip")
             download(url, path=zip_path, overwrite=True)
-            with zipfile.ZipFile(zip_path) as zf:
-                zf.extractall(dest)
-            os.remove(zip_path)
-            pth = os.path.join(dest, f"{zoo}-{sha[:8]}.pth")
+            member = f"{zoo}-{sha[:8]}.pth"
             target = os.path.join(dest, file_name + ".pth")
-            if pth != target and os.path.exists(pth):
-                os.replace(pth, target)
-            if not check_sha1(target, sha):
+            with zipfile.ZipFile(zip_path) as zf:
+                # extract ONLY the expected member — never unpack
+                # arbitrary archive contents into the cache dir
+                with zf.open(member) as src, open(target + ".part", "wb") as out:
+                    while True:
+                        chunk = src.read(1048576)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+            os.remove(zip_path)
+            if not check_sha1(target + ".part", sha, algo):
+                os.remove(target + ".part")
                 raise ValueError(f"{target}: hash mismatch after download")
+            os.replace(target + ".part", target)
             return target
         url = TORCHVISION_URL.format(name=name, sha=sha[:8])
         return download(url, path=os.path.join(dest, file_name + ".pth"),
-                        overwrite=True, sha1_hash=sha)
-    except Exception as e:  # no egress / bad mirror: clear miss, no crash
+                        overwrite=True, sha1_hash=sha, algo=algo)
+    except (OSError, zipfile.BadZipFile, KeyError, ValueError) as e:
+        # no egress / bad mirror / truncated archive: clear miss, no
+        # crash (URLError is an OSError; KeyError = missing zip member)
         import warnings
         warnings.warn(f"pretrained '{name}' not cached and download "
                       f"failed ({e}); proceeding without it")
@@ -169,7 +176,7 @@ def get_model_file(name: str, root: str | None = None,
     """Locate a cached pretrained checkpoint for ``name``; on miss,
     download it into the cache (reference model_store.py:35-83). Returns
     None when absent and unfetchable (e.g. no egress)."""
-    sha = KNOWN_SHA1.get(name)
+    algo_sha = KNOWN_DIGESTS.get(name)
     for d in _candidate_dirs(root):
         if not os.path.isdir(d):
             continue
@@ -179,8 +186,8 @@ def get_model_file(name: str, root: str | None = None,
             if base != name:
                 continue
             path = os.path.join(d, fn)
-            if verify and sha and "-" in stem:
-                if not check_sha1(path, stem.split("-")[1]):
+            if verify and algo_sha and "-" in stem:
+                if not check_sha1(path, stem.split("-")[1], algo_sha[0]):
                     continue
             return path
     if download_on_miss:

@@ -34,7 +34,7 @@ def test_model_store(tmp_path, monkeypatch):
 
     from tdnet_tpu.nn.resnet import resnet18
     from tdnet_tpu.utils import model_store
-    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet18", sha)
+    monkeypatch.setitem(model_store.KNOWN_DIGESTS, "resnet18", ("sha1", sha))
     found = model_store.get_model_file("resnet18", root=str(cache))
     assert found == str(final)
     bb = model_store.load_imagenet_backbone("resnet18", resnet18(),
@@ -69,7 +69,7 @@ def test_model_store_download(tmp_path, monkeypatch):
         buf.getvalue())
     cache = tmp_path / "cache"
     cache.mkdir()
-    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet50s", sha)
+    monkeypatch.setitem(model_store.KNOWN_DIGESTS, "resnet50s", ("sha1", sha))
     monkeypatch.setenv("ENCODING_REPO", f"file://{repo}/")
     got = model_store.get_model_file("resnet50s", root=str(cache))
     assert got == str(cache / f"resnet50s-{sha[:8]}.pth")
@@ -84,14 +84,18 @@ def test_model_store_download(tmp_path, monkeypatch):
     (repo / f"resnet18-{sha256[:8]}.pth").write_bytes(tv)
     monkeypatch.setattr(model_store, "TORCHVISION_URL",
                         f"file://{repo}/{{name}}-{{sha}}.pth")
-    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet18", sha256[:8])
+    monkeypatch.setitem(model_store.KNOWN_DIGESTS, "resnet18", ("sha256", sha256[:8]))
     cache2 = tmp_path / "cache2"
     cache2.mkdir()
     got2 = model_store.get_model_file("resnet18", root=str(cache2))
     assert got2 is not None and open(got2, "rb").read() == tv
+    # digest algorithms don't cross: a sha256 prefix must NOT verify
+    # under the sha1 check (and vice versa) — each entry is tagged
+    assert not model_store.check_sha1(got2, sha256[:8], "sha1")
+    assert model_store.check_sha1(got2, sha256[:8], "sha256")
 
     # hash mismatch -> rejected, warned, miss
-    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet18", "0" * 40)
+    monkeypatch.setitem(model_store.KNOWN_DIGESTS, "resnet18", ("sha256", "0" * 64))
     cache3 = tmp_path / "cache3"
     cache3.mkdir()
     with warnings.catch_warnings(record=True) as w:
@@ -100,7 +104,7 @@ def test_model_store_download(tmp_path, monkeypatch):
     assert any("download failed" in str(x.message) for x in w)
 
     # no egress / unreachable mirror -> graceful None
-    monkeypatch.setitem(model_store.KNOWN_SHA1, "resnet34", "12345678")
+    monkeypatch.setitem(model_store.KNOWN_DIGESTS, "resnet34", ("sha256", "12345678"))
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         monkeypatch.setattr(model_store, "TORCHVISION_URL",

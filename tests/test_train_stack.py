@@ -137,6 +137,41 @@ def test_sgd_semantics_match_torch():
                                bt.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_asgd_semantics_match_torch():
+    """tdnet_tpu asgd == torch.optim.ASGD trajectories — live params AND
+    the averaged iterate ax — including the mu<1 regime (t0 crossed).
+    The reference registers asgd (Training/ptsemseg/optimizers/
+    __init__.py:11) with torch's averaging semantics."""
+    import optax
+    from tdnet_tpu.train.optim import asgd, asgd_averaged_params
+    rng = np.random.RandomState(7)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    grads_seq = [rng.randn(4, 3).astype(np.float32) for _ in range(10)]
+
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.ASGD([wt], lr=0.1, lambd=1e-2, alpha=0.75, t0=3,
+                           weight_decay=1e-3)
+
+    params = {"w": jnp.asarray(w0)}
+    tx = asgd(lr=0.1, lambd=1e-2, alpha=0.75, t0=3, weight_decay=1e-3)
+    opt_state = tx.init(params)
+
+    for gw in grads_seq:
+        wt.grad = torch.from_numpy(gw.copy())
+        opt.step()
+        updates, opt_state = tx.update({"w": jnp.asarray(gw)}, opt_state,
+                                       params)
+        params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   wt.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+    ax_torch = opt.state[wt]["ax"].numpy()
+    ax_ours = np.asarray(asgd_averaged_params(opt_state)["w"])
+    # t0=3 over 10 steps: mu drops below 1, the averaging branch is live
+    assert not np.allclose(ax_torch, wt.detach().numpy())
+    np.testing.assert_allclose(ax_ours, ax_torch, rtol=1e-5, atol=1e-6)
+
+
 def test_metrics_match_reference():
     ref_metrics = _ref_import("ptsemseg.metrics")
     from tdnet_tpu.train.metrics import RunningScore
