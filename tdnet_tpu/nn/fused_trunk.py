@@ -45,6 +45,14 @@ def _split_w(w, groups):
     return outs
 
 
+def _chan_slice(t, start, size):
+    """Channel slice supporting a traced start (group streaming runs one
+    sub-network per device, so pid = f(lax.axis_index) is traced)."""
+    if isinstance(start, int):
+        return t[..., start:start + size]
+    return jax.lax.dynamic_slice_in_dim(t, start, size, axis=t.ndim - 1)
+
+
 def _up_matrices(src: int, dst: int, stride: int | None, dtype):
     a = interp_matrix(src, dst, True, dtype=dtype)
     if stride:
@@ -60,7 +68,7 @@ def _upsample_mat(x, ah, aw):
     return y.astype(x.dtype)
 
 
-def _psp_pieces(psp_params, c4, pid: int, groups: int):
+def _psp_pieces(psp_params, c4, pid, groups: int):
     """Pooled + projected + sliced pyramid branch maps (NOT upsampled).
 
     The four pyramid pools share a single pass over c4
@@ -73,7 +81,7 @@ def _psp_pieces(psp_params, c4, pid: int, groups: int):
         br = psp_params[f"conv{i + 1}"]
         f = conv2d(f, br["conv"]["w"])
         f = batch_norm(f, br["bn"], train=False, activation="relu")
-        pieces.append(f[..., pid * gq:(pid + 1) * gq])
+        pieces.append(_chan_slice(f, pid * gq, gq))
     return pieces
 
 
@@ -98,7 +106,7 @@ def _proj_distributed(conv_w, conv_b, id_map, pieces, out_hw,
     return y
 
 
-def fused_psp_encoding(psp_params, enc_params, c4, ctx: Ctx, *, pid: int,
+def fused_psp_encoding(psp_params, enc_params, c4, ctx: Ctx, *, pid,
                        groups: int, kv_stride: int):
     """Returns (q_tokens, v_map, q_c, k_c, v_c): the outputs of
     apply_encoding_full + apply_encoding_cached(pool_before_proj=True)
@@ -107,7 +115,7 @@ def fused_psp_encoding(psp_params, enc_params, c4, ctx: Ctx, *, pid: int,
     del ctx  # inference-only path: BN always uses running stats
     n, h, w, c = c4.shape
     g = c // groups
-    id_map = c4[..., pid * g:(pid + 1) * g]
+    id_map = _chan_slice(c4, pid * g, g)
     pieces = _psp_pieces(psp_params, c4, pid, groups)
 
     def proj2(p2, full_stride):
