@@ -51,9 +51,16 @@ def main(argv=None):
     parser.add_argument("--display", action="store_true",
                         help="live cv2 window like the reference "
                              "(Testing/test.py:72-74); ignored headless")
+    parser.add_argument("--dataset", type=str, default="cityscapes",
+                        choices=["cityscapes", "camvid", "nyud2", "nyudv2"],
+                        help="sets the class count and output palette")
+    parser.add_argument("--nclass", type=int, default=None,
+                        help="override the class count (checkpoints trained "
+                             "on non-standard label sets)")
     args = parser.parse_args(argv)
 
-    from tdnet_tpu.data.streaming import FrameSource, decode_segmap
+    from tdnet_tpu.data.streaming import (DATASET_META, FrameSource,
+                                          decode_segmap)
     from tdnet_tpu.models import (PSPNetConfig, apply_pspnet, init_model,
                                   init_pspnet, tdnet_config)
     from tdnet_tpu.nn.module import Ctx
@@ -66,6 +73,9 @@ def main(argv=None):
                                               tdnet_from_torch)
 
     in_size = tuple(args.in_size)
+    nclass, palette = DATASET_META[args.dataset]
+    if args.nclass:
+        nclass = args.nclass
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.native_loader:
         from tdnet_tpu.data.native import NativeFrameSource, native_available
@@ -84,7 +94,8 @@ def main(argv=None):
                  "psp101": args._psp101_path}[args.model]
 
     if args.model == "psp101":
-        cfg = PSPNetConfig(nclass=19, backbone="resnet101", in_size=in_size)
+        cfg = PSPNetConfig(nclass=nclass, backbone="resnet101",
+                           in_size=in_size)
         if ckpt_path and os.path.isfile(ckpt_path):
             print(f"Loading pretrained model from '{ckpt_path}'")
             sd = strip_module_prefix(load_torch_state(ckpt_path))
@@ -111,7 +122,7 @@ def main(argv=None):
             return out, dt
     else:
         streaming_kw = {} if args.model == "td2-fa" else dict(streaming=True)
-        cfg = tdnet_config(args.model, nclass=19, in_size=in_size,
+        cfg = tdnet_config(args.model, nclass=nclass, in_size=in_size,
                            **streaming_kw)
         params = init_model(key, cfg)
         if ckpt_path and os.path.isfile(ckpt_path):
@@ -146,7 +157,7 @@ def main(argv=None):
                 import cv2
                 small = cv2.resize(pred, (in_size[1] // 4, in_size[0] // 4),
                                    interpolation=cv2.INTER_NEAREST)
-                decoded = decode_segmap(small)
+                decoded = decode_segmap(small, palette)
                 save_dir = os.path.join(args.output_path, folder)
                 os.makedirs(save_dir, exist_ok=True)
                 imageio.imwrite(os.path.join(save_dir, img_name), decoded)
@@ -159,7 +170,7 @@ def main(argv=None):
                 else:
                     import cv2
                     cv2.namedWindow("Image")
-                    cv2.imshow("Image", decode_segmap(pred))
+                    cv2.imshow("Image", decode_segmap(pred, palette))
                     cv2.waitKey(1)
             print(" Frame {0:2d}   RunningTime/Latency={1:3.5f} s"
                   .format(i + 1, dt))

@@ -28,6 +28,27 @@ CAMVID_COLORS = np.array([
     [64, 0, 128], [64, 64, 0], [0, 128, 192]], dtype=np.uint8)
 
 
+def _spaced_colors(n: int) -> np.ndarray:
+    """Deterministic visually-spaced palette (NYUDv2-40 has no canonical
+    coloring; hue-spaced with alternating saturation/value)."""
+    import colorsys
+    cols = [colorsys.hsv_to_rgb((i * 7 % n) / n,
+                                0.95 if i % 2 else 0.6,
+                                0.9 if i % 3 else 0.55) for i in range(n)]
+    return (np.asarray(cols) * 255).astype(np.uint8)
+
+
+NYUD40_COLORS = _spaced_colors(40)
+
+# dataset name -> (n_classes, palette) for the streaming CLI
+DATASET_META = {
+    "cityscapes": (19, CITYSCAPES_COLORS),
+    "camvid": (11, CAMVID_COLORS),
+    "nyud2": (40, NYUD40_COLORS),
+    "nyudv2": (40, NYUD40_COLORS),
+}
+
+
 def recursive_glob(rootdir: str, suffix: str = ".png") -> list[str]:
     return sorted(
         os.path.join(root, fn)

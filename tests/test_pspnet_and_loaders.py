@@ -103,3 +103,22 @@ def test_device_preprocess_matches_host():
     want = np.asarray(resize_bilinear(
         jnp.asarray(normalize_frame(raw[0])[None]), (32, 48)))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_synthetic_demo_clip(tmp_path):
+    """The repo-local demo fixture (reference analog: Testing/data/vid1)
+    renders deterministically and streams through FrameSource."""
+    from tdnet_tpu.data.streaming import FrameSource
+    from tdnet_tpu.data.synthetic import make_demo_clip, render_frame
+
+    a = render_frame(3)
+    b = render_frame(3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (256, 512, 3) and a.dtype == np.uint8
+    assert not np.array_equal(render_frame(0), render_frame(5))  # motion
+
+    paths = make_demo_clip(str(tmp_path / "clip"), n_frames=4)
+    assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+    src = FrameSource(str(tmp_path / "clip"), (64, 128))
+    frames = list(src)
+    assert len(frames) == 4 and frames[0][0].shape == (1, 64, 128, 3)
