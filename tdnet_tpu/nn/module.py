@@ -29,6 +29,11 @@ class Ctx:
     axis_name: str | None = None
     attn_impl: str = "xla"
     stem_impl: str = "xla"  # first-conv impl: xla | oct (im2col matmul) | s2d
+    # stride-1 3x3 conv autodiff: "mm_wgrad" (XLA fwd/dgrad + per-tap
+    # MXU-matmul wgrad — fastest measured) | "mm" (fully matmul-form,
+    # slower: the 9 shifted-slice reshapes cost more than XLA's native
+    # fwd/dgrad) | "xla" (native conv-wgrad, ~45 TFLOP/s on v5e)
+    conv_wgrad: str = "mm_wgrad"
     fused_trunk: bool = False  # z-free grouped-PSP+QKV path (inference perf)
     use_dropout: bool = True  # False: train-mode BN but no dropout (oracle tests)
     _n_rng: int = 0

@@ -24,9 +24,25 @@ import jax.numpy as jnp
 from tdnet_tpu.nn.module import Ctx
 from tdnet_tpu.ops import (conv2d, init_batch_norm, init_conv_msra_out,
                            max_pool)
-from tdnet_tpu.ops.conv import conv2d_stem_oct, conv2d_stem_s2d
+from tdnet_tpu.ops.conv import (conv2d_mm, conv2d_mm_wgrad, conv2d_stem_oct,
+                                conv2d_stem_s2d)
 
 _MULTI_DILATIONS = (4, 8, 16)
+
+
+def _conv3x3(x, w, ctx: Ctx, *, stride: int, padding: int, dilation: int):
+    """Residual-block 3x3 conv. In training the stride-1 convs route
+    through per-tap dense MXU matmuls — XLA's phase-decomposed dilated
+    convs (and especially their weight gradients, ~45 TFLOP/s) dominated
+    the bf16 train profile on v5e. ``ctx.conv_wgrad``: "mm" = fully
+    matmul-form conv (fwd+dgrad+wgrad), "mm_wgrad" = XLA fwd/dgrad with
+    matmul wgrad only, "xla" = native convs."""
+    if ctx.train and stride == 1:
+        if ctx.conv_wgrad == "mm":
+            return conv2d_mm(x, w, padding, dilation)
+        if ctx.conv_wgrad == "mm_wgrad":
+            return conv2d_mm_wgrad(x, w, padding, dilation)
+    return conv2d(x, w, stride=stride, padding=padding, dilation=dilation)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,11 +171,11 @@ def init_resnet(key, cfg: ResNetConfig, dtype=jnp.float32) -> dict:
 
 def _apply_basic(b, x, spec, ctx: Ctx):
     nb = dict(b)
-    out = conv2d(x, b["conv1"]["w"], stride=spec["stride"],
-                 padding=spec["dil"], dilation=spec["dil"])
+    out = _conv3x3(x, b["conv1"]["w"], ctx, stride=spec["stride"],
+                   padding=spec["dil"], dilation=spec["dil"])
     out, nb["bn1"] = ctx.bn(out, b["bn1"], activation="relu")
-    out = conv2d(out, b["conv2"]["w"], padding=spec["prev_dil"],
-                 dilation=spec["prev_dil"])
+    out = _conv3x3(out, b["conv2"]["w"], ctx, stride=1,
+                   padding=spec["prev_dil"], dilation=spec["prev_dil"])
     out, nb["bn2"] = ctx.bn(out, b["bn2"])
     if "downsample" in b:
         res = conv2d(x, b["downsample"]["conv"]["w"], stride=spec["stride"])
@@ -174,8 +190,8 @@ def _apply_bottleneck(b, x, spec, ctx: Ctx):
     nb = dict(b)
     out = conv2d(x, b["conv1"]["w"])
     out, nb["bn1"] = ctx.bn(out, b["bn1"], activation="relu")
-    out = conv2d(out, b["conv2"]["w"], stride=spec["stride"],
-                 padding=spec["dil"], dilation=spec["dil"])
+    out = _conv3x3(out, b["conv2"]["w"], ctx, stride=spec["stride"],
+                   padding=spec["dil"], dilation=spec["dil"])
     out, nb["bn2"] = ctx.bn(out, b["bn2"], activation="relu")
     out = conv2d(out, b["conv3"]["w"])
     out, nb["bn3"] = ctx.bn(out, b["bn3"])

@@ -14,6 +14,7 @@ Initializers match the reference:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -159,6 +160,136 @@ def conv2d_stem_oct(x: jnp.ndarray, w: jnp.ndarray, *, padding: int) -> jnp.ndar
                      preferred_element_type=jnp.promote_types(x.dtype, w.dtype))
     out = out.astype(x.dtype).reshape(n, oh, ow4 * 4, co)
     return lax.slice(out, (0, 0, 0, 0), (n, oh, ow, co))
+
+
+def _conv_s1(x, w, padding, dilation):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), ((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.promote_types(x.dtype, w.dtype),
+    ).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_mm_wgrad(x, w, padding: int, dilation: int):
+    """Stride-1 conv whose WEIGHT gradient is computed as kh*kw dense
+    MXU matmuls instead of XLA's conv-wgrad.
+
+    XLA lowers the wgrad of the dilated 3x3 convs (layer3/4 multi-grid,
+    reference Testing/model/pspnet/resnet.py:170-202) through a
+    phase-decomposed conv that runs at ~45 TFLOP/s on v5e (23.4 of
+    172 ms/step in the bf16 TD4-PSP18 recipe). Each kernel tap's
+    gradient is just ``x_shifted^T @ dy`` over the n*h*w contraction —
+    a [ci, L] x [L, co] matmul the MXU runs near peak. Forward and
+    data-gradient are unchanged XLA convs; the weight gradient is the
+    same multiset of products in a different summation order (f32
+    accumulation, at least as accurate as the native path).
+    """
+    return _conv_s1(x, w, padding, dilation)
+
+
+def _tap_wgrad(x, dy, padding, dilation, kh, kw, ci):
+    """dW via one dense [ci, L] x [L, co] matmul per kernel tap."""
+    d = dilation
+    n = x.shape[0]
+    Ho, Wo = dy.shape[1], dy.shape[2]
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    rows = []
+    for ih in range(kh):
+        row = []
+        for iw in range(kw):
+            xs = lax.slice(xp, (0, ih * d, iw * d, 0),
+                           (n, ih * d + Ho, iw * d + Wo, ci))
+            row.append(lax.dot_general(
+                xs, dy, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                preferred_element_type=jnp.float32))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_mm(x, w, padding: int, dilation: int):
+    """Stride-1 conv computed ENTIRELY as per-tap dense MXU matmuls —
+    forward, data gradient and weight gradient.
+
+    XLA lowers stride-1 dilated convs (and their gradients) through a
+    phase-decomposed form whose relayout copies dominated the bf16
+    TD4-PSP18 train profile (the [97,8,25,c] tile family, ~25 ms/step
+    on v5e). Per tap the conv is a shifted [L, ci] x [ci, co] matmul:
+    kh*kw dense dots summed in f32 — no phase relayouts anywhere, and
+    every FLOP lands on the MXU. Same multiset of products as the
+    direct conv (float-sum order apart; f32 accumulation throughout).
+    """
+    kh, kw, ci, co = w.shape
+    d, p = dilation, padding
+    n, H, W, _ = x.shape
+    Ho, Wo = H + 2 * p - d * (kh - 1), W + 2 * p - d * (kw - 1)
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    out = None
+    for ih in range(kh):
+        for iw in range(kw):
+            xs = lax.slice(xp, (0, ih * d, iw * d, 0),
+                           (n, ih * d + Ho, iw * d + Wo, ci))
+            t = lax.dot_general(xs, w[ih, iw], (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            out = t if out is None else out + t
+    return out.astype(x.dtype)
+
+
+def _mm_conv_fwd(x, w, padding, dilation):
+    return conv2d_mm(x, w, padding, dilation), (x, w)
+
+
+def _mm_conv_bwd(padding, dilation, res, dy):
+    x, w = res
+    kh, kw, ci, co = w.shape
+    d, p = dilation, padding
+    n, H, W, _ = x.shape
+    Ho, Wo = dy.shape[1], dy.shape[2]
+    # dgrad: per-tap dy @ w^T, accumulated at shifted offsets via
+    # fusable pads (no scatter, no strided writes)
+    acc = None
+    for ih in range(kh):
+        for iw in range(kw):
+            t = lax.dot_general(dy, w[ih, iw], (((3,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            pad_cfg = ((0, 0),
+                       (ih * d, H + 2 * p - Ho - ih * d),
+                       (iw * d, W + 2 * p - Wo - iw * d),
+                       (0, 0))
+            t = jnp.pad(t, pad_cfg)
+            acc = t if acc is None else acc + t
+    dx = lax.slice(acc, (0, p, p, 0),
+                   (n, p + H, p + W, ci)).astype(x.dtype)
+    dw = _tap_wgrad(x, dy, p, d, kh, kw, ci).astype(w.dtype)
+    return dx, dw
+
+
+conv2d_mm.defvjp(_mm_conv_fwd, _mm_conv_bwd)
+
+
+def _mm_wgrad_fwd(x, w, padding, dilation):
+    return _conv_s1(x, w, padding, dilation), (x, w)
+
+
+def _mm_wgrad_bwd(padding, dilation, res, dy):
+    x, w = res
+    kh, kw, ci, co = w.shape
+    d = dilation
+    # dgrad: correlation with the flipped, IO-swapped kernel
+    w_t = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    ph, pw = d * (kh - 1) - padding, d * (kw - 1) - padding
+    dx = lax.conv_general_dilated(
+        dy, w_t, (1, 1), ((ph, ph), (pw, pw)),
+        rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.promote_types(dy.dtype, w.dtype),
+    ).astype(x.dtype)
+    dw = _tap_wgrad(x, dy, padding, d, kh, kw, ci).astype(w.dtype)
+    return dx, dw
+
+
+conv2d_mm_wgrad.defvjp(_mm_wgrad_fwd, _mm_wgrad_bwd)
 
 
 def init_conv_kaiming(key, kh: int, kw: int, cin: int, cout: int, *,

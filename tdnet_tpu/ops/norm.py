@@ -16,8 +16,79 @@
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _bn_act_train(x, scale, bias, nhw_stats, eps, activation, axis_name):
+    """Normalize + affine + activation with a hand-written 2-pass VJP.
+
+    ``nhw_stats`` = (mean, inv) f32 per-channel batch statistics (already
+    cross-device reduced when ``axis_name`` is set). XLA's autodiff of
+    the naive formulation runs ~6 reduction/elementwise passes over the
+    activation per BN in backward, each with an f32 materialization of
+    the bf16 input (15+ ms of the bf16 TD4 train step on v5e); this VJP
+    is exactly 2 fused passes each way and keeps x in its storage dtype.
+    """
+    mean, inv = nhw_stats
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    y = ((x.astype(cdt) - mean) * (inv * scale.astype(cdt))
+         + bias.astype(cdt)).astype(x.dtype)
+    return _apply_act(y, activation)
+
+
+def _apply_act(y, activation):
+    if activation == "leaky_relu":
+        return jax.nn.leaky_relu(y, negative_slope=0.01)
+    if activation == "relu":
+        return jax.nn.relu(y)
+    if activation is None:
+        return y
+    raise ValueError(f"unknown activation {activation}")
+
+
+def _bn_act_train_fwd(x, scale, bias, nhw_stats, eps, activation, axis_name):
+    y = _bn_act_train(x, scale, bias, nhw_stats, eps, activation, axis_name)
+    return y, (x, scale, nhw_stats, y)
+
+
+def _bn_act_train_bwd(eps, activation, axis_name, res, dy):
+    x, scale, (mean, inv), y = res
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    # intermediates stay in the STORAGE dtype (bf16 traffic is half of
+    # f32; the reductions below still accumulate in f32) — f32 inputs
+    # keep full-precision math
+    if activation == "leaky_relu":
+        # y and pre-activation share sign; slope 1 on the >= 0 branch
+        dpre = jnp.where(y >= 0, dy, dy * jnp.asarray(0.01, dy.dtype))
+    elif activation == "relu":
+        dpre = jnp.where(y > 0, dy, jnp.zeros((), dy.dtype))
+    else:
+        dpre = dy
+    xhat = ((x.astype(cdt) - mean) * inv).astype(x.dtype)
+    red = tuple(range(x.ndim - 1))
+    db = jnp.sum(dpre, axis=red, dtype=cdt)
+    ds = jnp.sum((dpre * xhat), axis=red, dtype=cdt)
+    dpre = dpre.astype(cdt)
+    xhat = xhat.astype(cdt)
+    n = x.size // x.shape[-1]
+    if axis_name is not None:
+        db = jax.lax.psum(db, axis_name)
+        ds = jax.lax.psum(ds, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
+    dx = ((scale.astype(cdt) * inv)
+          * (dpre - db / n - xhat * (ds / n))).astype(x.dtype)
+    # nhw_stats entered through a stop_gradient boundary (torch: batch
+    # stats are constants w.r.t. the parameters being optimized is NOT
+    # true — the db/n and ds/n terms above ARE the mean/var chain terms,
+    # folded into dx analytically)
+    return dx, ds.astype(scale.dtype), db.astype(scale.dtype), (None, None)
+
+
+_bn_act_train.defvjp(_bn_act_train_fwd, _bn_act_train_bwd)
 
 
 def init_batch_norm(c: int, dtype=jnp.float32):
@@ -31,45 +102,55 @@ def init_batch_norm(c: int, dtype=jnp.float32):
 
 def batch_norm(x: jnp.ndarray, params: dict, *, train: bool = False,
                eps: float = 1e-5, momentum: float = 0.1,
-               activation: str | None = None, axis_name: str | None = None):
+               activation: str | None = None, axis_name: str | None = None,
+               fused: bool = True):
     """NHWC batch norm. Returns ``y`` in eval mode, ``(y, new_stats)`` in train.
 
     ``new_stats`` is a dict with updated ``mean``/``var`` running buffers
-    (unbiased variance, matching torch).
+    (unbiased variance, matching torch). In train mode the normalize +
+    activation (and its full backward, batch-stat chain terms included)
+    run through the 2-pass custom-VJP ``_bn_act_train`` when ``fused``;
+    ``fused=False`` keeps the naive autodiff formulation (reference
+    dataflow for A/B tests — same math, float-sum order apart).
     """
     cdt = jnp.promote_types(x.dtype, jnp.float32)
-    xf = x.astype(cdt)
     if train:
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        xf = x.astype(cdt)
+        red = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xf, axis=red)
+        mean_sq = jnp.mean(jnp.square(xf), axis=red)
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
             mean_sq = jax.lax.pmean(mean_sq, axis_name)
         var = mean_sq - jnp.square(mean)
-        n = x.shape[0] * x.shape[1] * x.shape[2]
+        n = x.size // x.shape[-1]
         if axis_name is not None:
             n = n * jax.lax.psum(1, axis_name)
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
-            "mean": (1 - momentum) * params["mean"] + momentum * mean.astype(params["mean"].dtype),
-            "var": (1 - momentum) * params["var"] + momentum * unbiased.astype(params["var"].dtype),
+            "mean": (1 - momentum) * params["mean"]
+                    + momentum * jax.lax.stop_gradient(mean).astype(params["mean"].dtype),
+            "var": (1 - momentum) * params["var"]
+                   + momentum * jax.lax.stop_gradient(unbiased).astype(params["var"].dtype),
         }
-    else:
-        mean = params["mean"].astype(cdt)
-        var = params["var"].astype(cdt)
+        if fused:
+            # the VJP folds the mean/var chain terms into dx analytically,
+            # so the stats enter through a stop_gradient boundary
+            stats = (jax.lax.stop_gradient(mean),
+                     jax.lax.stop_gradient(jax.lax.rsqrt(var + eps)))
+            y = _bn_act_train(x, params["scale"], params["bias"], stats,
+                              eps, activation, axis_name)
+            return y, new_stats
+        inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(cdt)
+        y = ((x.astype(cdt) - mean) * inv
+             + params["bias"].astype(cdt)).astype(x.dtype)
+        return _apply_act(y, activation), new_stats
 
+    mean = params["mean"].astype(cdt)
+    var = params["var"].astype(cdt)
     inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(cdt)
-    y = (xf - mean) * inv + params["bias"].astype(cdt)
-    y = y.astype(x.dtype)
-    if activation == "leaky_relu":
-        y = jax.nn.leaky_relu(y, negative_slope=0.01)
-    elif activation == "relu":
-        y = jax.nn.relu(y)
-    elif activation is not None:
-        raise ValueError(f"unknown activation {activation}")
-    if train:
-        return y, new_stats
-    return y
+    y = ((x.astype(cdt) - mean) * inv + params["bias"].astype(cdt)).astype(x.dtype)
+    return _apply_act(y, activation)
 
 
 def init_layer_norm_2d(h: int, w: int, dtype=jnp.float32):

@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def adaptive_avg_pool(x: jnp.ndarray, out_size: int | tuple[int, int]) -> jnp.ndarray:
@@ -104,16 +105,8 @@ def grid_subsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return x[:, ::stride, ::stride, :]
 
 
-def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2,
-             padding: int = 1) -> jnp.ndarray:
-    """torch MaxPool2d(window, stride, padding) over NHWC.
-
-    Keep the native VJP: its select-and-scatter backward looks slow in
-    profiles (~2.4 ms per stem grad) but a mask-based first-max rewrite
-    using strided scatter-adds measured WORSE end-to-end (TD4 training
-    202 -> 245 ms/step) — TPU strided .at[::2].add relayouts cost more
-    than select-and-scatter.
-    """
+def _max_pool_native(x: jnp.ndarray, window: int, stride: int,
+                     padding: int) -> jnp.ndarray:
     # -inf (not finfo.min) as init: JAX's reduce_window max VJP rule
     # requires the identity element to be recognized for differentiation.
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
@@ -123,3 +116,99 @@ def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2,
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
     )
+
+
+def _phases2(xp: jnp.ndarray):
+    """Split NHWC into the 4 (h%2, w%2) phase grids via one reshape-
+    transpose relayout. H/W of ``xp`` must be even."""
+    n, h, w, c = xp.shape
+    t = xp.reshape(n, h // 2, 2, w // 2, 2, c).transpose(2, 4, 0, 1, 3, 5)
+    return [[t[0, 0], t[0, 1]], [t[1, 0], t[1, 1]]]
+
+
+@jax.custom_vjp
+def _max_pool_321(x: jnp.ndarray) -> jnp.ndarray:
+    return _max_pool_native(x, 3, 2, 1)
+
+
+def _mp321_fwd(x):
+    return _max_pool_native(x, 3, 2, 1), x
+
+
+def _mp321_bwd(x, dy):
+    """Gather-form first-max backward for MaxPool2d(3, 2, 1).
+
+    XLA's select-and-scatter VJP ran at ~40 GB/s on the stem shape
+    (2.1 ms + a 1 ms layout copy per path on v5e; 12.6 ms of the bf16
+    TD4 train step), and a strided scatter-add rewrite measured worse
+    (202 -> 245 ms/step): TPU strided writes relayout. This version has
+    NO scatter and NO strided slice in the hot path: one space-to-depth
+    relayout of x and of the dx accumulation, with every window tap a
+    DENSE slice of a phase grid. Gradient routing matches torch (and
+    XLA select-and-scatter): the FIRST maximum in row-major window
+    order receives the gradient.
+    """
+    n, H, W, C = x.shape
+    Ho = (H + 2 - 3) // 2 + 1
+    Wo = (W + 2 - 3) // 2 + 1
+    neg = jnp.array(-jnp.inf, x.dtype)
+    # padded coords: window (oh, ow) covers rows 2oh..2oh+2, cols 2ow..2ow+2
+    hp = 2 * Ho + 2                      # even, >= 2(Ho-1)+3
+    wp = 2 * Wo + 2
+    xp = jnp.pad(x, ((0, 0), (1, hp - H - 1), (1, wp - W - 1), (0, 0)),
+                 constant_values=neg)
+    ph = _phases2(xp)                    # [hp/2, wp/2] each
+
+    def tap(kh, kw):
+        src = ph[kh % 2][kw % 2]
+        return lax.slice(src, (0, kh // 2, kw // 2, 0),
+                         (n, kh // 2 + Ho, kw // 2 + Wo, C))
+
+    # first-max index over the 9 taps, row-major (torch tie order)
+    best = tap(0, 0)
+    bidx = jnp.zeros(best.shape, jnp.int32)
+    k = 0
+    taps = [(0, 0)]
+    for kh in range(3):
+        for kw in range(3):
+            if (kh, kw) == (0, 0):
+                continue
+            k += 1
+            t = tap(kh, kw)
+            better = t > best
+            best = jnp.where(better, t, best)
+            bidx = jnp.where(better, k, bidx)
+            taps.append((kh, kw))
+
+    # per-phase accumulation via fusable pads + adds (dynamic-update-slice
+    # accumulators measured ~6 ms/step across the 4 stem pools; pad+add
+    # fuses into one elementwise pass per phase)
+    acc: dict = {}
+    for k, (kh, kw) in enumerate(taps):
+        contrib = jnp.where(bidx == k, dy, jnp.zeros_like(dy))
+        padded = jnp.pad(contrib, ((0, 0), (kh // 2, 1 - kh // 2),
+                                   (kw // 2, 1 - kw // 2), (0, 0)))
+        key = (kh % 2, kw % 2)
+        acc[key] = padded if key not in acc else acc[key] + padded
+    phases = [[acc[(0, 0)], acc[(0, 1)]], [acc[(1, 0)], acc[(1, 1)]]]
+    # depth-to-space: interleave the 4 phase accumulators
+    st = jnp.stack([jnp.stack(row) for row in phases])  # [2,2,n,Ho+1,Wo+1,C]
+    dxp = st.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * Ho + 2, 2 * Wo + 2, C)
+    dx = lax.slice(dxp, (0, 1, 1, 0), (n, 1 + H, 1 + W, C))
+    return (dx,)
+
+
+_max_pool_321.defvjp(_mp321_fwd, _mp321_bwd)
+
+
+def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2,
+             padding: int = 1) -> jnp.ndarray:
+    """torch MaxPool2d(window, stride, padding) over NHWC.
+
+    The (3, 2, 1) stem pool carries a custom gather-form backward (see
+    ``_mp321_bwd``); other geometries keep the native select-and-scatter
+    VJP.
+    """
+    if (window, stride, padding) == (3, 2, 1):
+        return _max_pool_321(x)
+    return _max_pool_native(x, window, stride, padding)

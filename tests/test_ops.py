@@ -211,3 +211,159 @@ def test_stream_step_stem_oct_matches_xla():
                              cfg.psp_pid(0), Ctx(train=False, stem_impl=impl))
         outs[impl] = np.asarray(out)
     np.testing.assert_allclose(outs["oct"], outs["xla"], atol=1e-4, rtol=1e-4)
+
+
+def test_conv2d_mm_wgrad_matches_autodiff():
+    """conv2d_mm_wgrad: forward identical to conv2d; dx/dw match XLA's
+    native conv gradients (f32, tight tolerance — same products, only
+    the wgrad summation order differs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tdnet_tpu.ops.conv import conv2d, conv2d_mm_wgrad
+
+    for (ci, co, d, p) in [(16, 24, 2, 2), (8, 8, 1, 1), (8, 16, 4, 4)]:
+        kx, kw, kdy = jax.random.split(jax.random.PRNGKey(ci + d), 3)
+        x = jax.random.normal(kx, (2, 19, 23, ci), jnp.float32)
+        w = jax.random.normal(kw, (3, 3, ci, co), jnp.float32) * 0.1
+
+        y0 = conv2d(x, w, padding=p, dilation=d)
+        y1 = conv2d_mm_wgrad(x, w, p, d)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=1e-6, rtol=1e-6)
+
+        dy = jax.random.normal(kdy, y0.shape, jnp.float32)
+        g0 = jax.grad(lambda x_, w_: jnp.vdot(
+            conv2d(x_, w_, padding=p, dilation=d), dy), argnums=(0, 1))(x, w)
+        g1 = jax.grad(lambda x_, w_: jnp.vdot(
+            conv2d_mm_wgrad(x_, w_, p, d), dy), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                                   atol=1e-3, rtol=1e-4)
+
+
+def test_conv2d_mm_matches_autodiff():
+    """conv2d_mm (fully matmul-form conv): forward, dx and dw all match
+    XLA's native conv and its autodiff gradients (f32, tight tol)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tdnet_tpu.ops.conv import conv2d, conv2d_mm
+
+    for (ci, co, d, p) in [(16, 24, 2, 2), (8, 8, 1, 1), (8, 16, 4, 4)]:
+        kx, kw, kdy = jax.random.split(jax.random.PRNGKey(3 * ci + d), 3)
+        x = jax.random.normal(kx, (2, 19, 23, ci), jnp.float32)
+        w = jax.random.normal(kw, (3, 3, ci, co), jnp.float32) * 0.1
+
+        y0 = conv2d(x, w, padding=p, dilation=d)
+        y1 = conv2d_mm(x, w, p, d)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=2e-5, rtol=2e-5)
+
+        dy = jax.random.normal(kdy, y0.shape, jnp.float32)
+        g0 = jax.grad(lambda x_, w_: jnp.vdot(
+            conv2d(x_, w_, padding=p, dilation=d), dy), argnums=(0, 1))(x, w)
+        g1 = jax.grad(lambda x_, w_: jnp.vdot(
+            conv2d_mm(x_, w_, p, d), dy), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                                   atol=1e-3, rtol=1e-4)
+
+
+def test_max_pool_backward_matches_torch_with_ties():
+    """The (3,2,1) stem pool's gather-form backward routes each window's
+    gradient to the FIRST maximum in row-major order — torch semantics —
+    including tie-heavy post-ReLU inputs, odd/even geometry and the
+    padding ring."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from tdnet_tpu.ops.pool import max_pool
+
+    rng = np.random.RandomState(7)
+    for (h, w) in [(15, 21), (16, 22), (97, 193)]:
+        x = np.round(rng.randn(2, h, w, 6) * 2) / 2   # force exact ties
+        x[x < 0] = 0.0                                # post-ReLU zeros
+        x = x.astype(np.float32)
+        oh, ow = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+        dy = rng.randn(2, oh, ow, 6).astype(np.float32)
+
+        y, vjp = jax.vjp(lambda a: max_pool(a, 3, 2, 1), jnp.asarray(x))
+        dx, = vjp(jnp.asarray(dy))
+
+        xt = torch.tensor(x.transpose(0, 3, 1, 2), requires_grad=True)
+        yt = torch.nn.functional.max_pool2d(xt, 3, 2, 1)
+        yt.backward(torch.tensor(dy.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(y), yt.detach().numpy().transpose(0, 2, 3, 1),
+            atol=0, rtol=0)
+        np.testing.assert_allclose(
+            np.asarray(dx), xt.grad.numpy().transpose(0, 2, 3, 1),
+            atol=1e-5, rtol=1e-5)
+
+
+def test_batch_norm_fused_vjp_matches_autodiff():
+    """Train-mode BN: the 2-pass custom-VJP path (fused=True, default)
+    must match the naive autodiff formulation for y, running stats and
+    all gradients — including the batch-stat chain terms in dx — for
+    every activation, and under shard_map SyncBN (axis_name psums)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from tdnet_tpu.ops.norm import batch_norm, init_batch_norm
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(4, 9, 11, 16).astype(np.float32))
+    dy = jnp.asarray(rng.randn(4, 9, 11, 16).astype(np.float32))
+    p = init_batch_norm(16)
+    p = {**p, "scale": jnp.asarray(rng.rand(16).astype(np.float32) + 0.5),
+         "bias": jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)}
+
+    for act in (None, "relu", "leaky_relu"):
+        def grads(fused):
+            def loss(x_, s_, b_):
+                y, ns = batch_norm(x_, {**p, "scale": s_, "bias": b_},
+                                   train=True, activation=act, fused=fused)
+                return jnp.vdot(y, dy), (y, ns)
+            return jax.grad(loss, argnums=(0, 1, 2), has_aux=True)(
+                x, p["scale"], p["bias"])
+        (dx0, ds0, db0), (y0, ns0) = grads(False)
+        (dx1, ds1, db1), (y1, ns1) = grads(True)
+        for a, b in [(y0, y1), (dx0, dx1), (ds0, ds1), (db0, db1),
+                     (ns0["mean"], ns1["mean"]), (ns0["var"], ns1["var"])]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=2e-5)
+
+    # SyncBN: batch sharded over 4 devices; fused-vjp grads must equal
+    # the single-device full-batch result
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("d",))
+
+    def sharded_loss(x_, s_):
+        y, _ = batch_norm(x_, {**p, "scale": s_}, train=True,
+                          activation="leaky_relu", axis_name="d")
+        return jax.lax.psum(jnp.vdot(y, dy_local(x_)), "d")
+
+    def dy_local(x_):  # slice dy to match the local shard by identity trick
+        return dy[:x_.shape[0]]
+
+    shd = jax.jit(jax.shard_map(
+        lambda x_, s_: jax.grad(sharded_loss, argnums=(0, 1))(x_, s_),
+        mesh=mesh, in_specs=(P("d"), P()), out_specs=(P("d"), P())))
+    # note: dy_local above sees the LOCAL shard (shape 1) so compares
+    # against a dy broadcast; build the reference the same way
+    dxs, dss = shd(x, p["scale"])
+
+    def ref_loss(x_, s_):
+        y, _ = batch_norm(x_, {**p, "scale": s_}, train=True,
+                          activation="leaky_relu", fused=False)
+        return jnp.vdot(y, jnp.concatenate([dy[:1]] * 4))
+    dxr, dsr = jax.grad(ref_loss, argnums=(0, 1))(x, p["scale"])
+    np.testing.assert_allclose(np.asarray(dxs), np.asarray(dxr),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(dss), np.asarray(dsr),
+                               atol=2e-5, rtol=2e-5)
