@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: stride-1 dilated 3x3 convolution (fwd + dgrad).
+
+XLA lowers stride-1 dilated convs through a space-to-depth phase
+decomposition; at the TDNet training geometry (batch 1, 97x193 c4 grid,
+multi-grid dilations 2..16 — reference Testing/model/pspnet/
+resnet.py:170-202) the per-conv relayout copies of that form dominate
+the step profile. Here each kernel tap is a dense [BH*Wo, ci] x [ci, co]
+MXU matmul over a VMEM-resident input row-block: the halo rows are
+DMA'd once per block and the 9 shifted reads are free in-register
+slices — no phase relayouts, no HBM round trips between taps.
+
+The data gradient of a stride-1 dilated conv IS a stride-1 dilated conv
+with the spatially-flipped, IO-transposed kernel, so one kernel serves
+both directions; the weight gradient runs as per-tap matmuls
+(ops/conv.py:_tap_wgrad). Exposed as ``conv2d_pallas_dil`` with a
+custom VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _dil_kernel(xp_ref, w_ref, o_ref, xb, sem, *, d: int, bh: int,
+                wo: int, kh: int, kw: int):
+    """One output row-block. xp_ref: padded input in ANY/HBM
+    [Hp, Wp, ci]; w_ref: [kh*kw, ci, co] in VMEM; o_ref: [bh, wo, co]."""
+    i = pl.program_id(0)
+    rows = bh + (kh - 1) * d
+    dma = pltpu.make_async_copy(
+        xp_ref.at[pl.ds(i * bh, rows)], xb, sem)
+    dma.start()
+    dma.wait()
+    acc = None
+    for ih in range(kh):
+        for iw in range(kw):
+            xs = xb[ih * d:ih * d + bh, iw * d:iw * d + wo, :]
+            xs = xs.reshape(bh * wo, xs.shape[-1])
+            t = jax.lax.dot_general(
+                xs, w_ref[ih * kw + iw], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    o_ref[:] = acc.reshape(bh, wo, -1).astype(o_ref.dtype)
+
+
+def _pallas_dil_conv(x, w, padding: int, dilation: int, block_h: int = 8):
+    """x [n, H, W, ci] (n folded into H blocks per image), w HWIO."""
+    kh, kw, ci, co = w.shape
+    d, p = dilation, padding
+    n, H, W, _ = x.shape
+    Ho = H + 2 * p - d * (kh - 1)
+    Wo = W + 2 * p - d * (kw - 1)
+    ho_pad = _round_up(Ho, block_h)
+    # pad so every block's halo read stays in range
+    hp = ho_pad + (kh - 1) * d
+    wp = Wo + (kw - 1) * d
+
+    def one(img):
+        xp = jnp.pad(img, ((p, hp - H - p), (p, wp - W - p), (0, 0)))
+        rows = block_h + (kh - 1) * d
+        out = pl.pallas_call(
+            functools.partial(_dil_kernel, d=d, bh=block_h, wo=Wo,
+                              kh=kh, kw=kw),
+            grid=(ho_pad // block_h,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((kh * kw, ci, co), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_h, Wo, co), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ho_pad, Wo, co), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((rows, wp, ci), x.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ho_pad * Wo * kh * kw * ci * co,
+                bytes_accessed=(hp * wp * ci + kh * kw * ci * co
+                                + ho_pad * Wo * co) * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(xp, w.reshape(kh * kw, ci, co))
+        return out[:Ho]
+
+    return jax.vmap(one)(x) if n > 1 else one(x[0])[None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_pallas_dil(x, w, padding: int, dilation: int):
+    """Stride-1 dilated conv via the Pallas row-block kernel, with the
+    matching dgrad kernel and tap-matmul wgrad in the VJP."""
+    return _pallas_dil_conv(x, w, padding, dilation)
+
+
+def _pd_fwd(x, w, padding, dilation):
+    return _pallas_dil_conv(x, w, padding, dilation), (x, w)
+
+
+def _pd_bwd(padding, dilation, res, dy):
+    from tdnet_tpu.ops.conv import _tap_wgrad
+    x, w = res
+    kh, kw, ci, co = w.shape
+    d = dilation
+    # dgrad == dilated conv of dy with the flipped, IO-swapped kernel
+    w_t = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    pb = d * (kh - 1) - padding
+    dx = _pallas_dil_conv(dy, w_t, pb, d).astype(x.dtype)
+    dw = _tap_wgrad(x, dy, padding, d, kh, kw, ci).astype(w.dtype)
+    return dx, dw
+
+
+conv2d_pallas_dil.defvjp(_pd_fwd, _pd_bwd)

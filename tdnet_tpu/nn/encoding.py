@@ -109,12 +109,22 @@ def apply_attention(params: dict, k_src: jnp.ndarray, v_src: jnp.ndarray,
     temperature = math.sqrt(d_k)
     do_drop = ctx.train and ctx.use_dropout
     drop_rng = ctx.next_rng() if (do_drop and ctx.rng is not None) else None
-    out = scaled_dot_attention(q_tgr, k_src, v_src, temperature=temperature,
-                               dropout_rate=0.1 if do_drop else 0.0,
-                               dropout_rng=drop_rng, impl=ctx.attn_impl)
-    # per-token fc: [n, L, d_v] x [d_v, d_v]
     w = params["fc"]["w"][0, 0]  # [d_v, d_v] (HWIO 1x1)
-    out = jnp.einsum("nld,de->nle", out, w) + params["fc"]["b"]
+    if ctx.attn_impl == "pallas" and drop_rng is None:
+        # fused path: the per-token fc rides inside the kernel — the
+        # [Lq, d_v] PV field never round-trips HBM before the projection
+        from tdnet_tpu.kernels.propagation_attention import \
+            fused_propagation_attention
+        out = fused_propagation_attention(
+            q_tgr, k_src, v_src, temperature=temperature,
+            fc_w=w, fc_b=params["fc"]["b"])
+    else:
+        out = scaled_dot_attention(q_tgr, k_src, v_src,
+                                   temperature=temperature,
+                                   dropout_rate=0.1 if do_drop else 0.0,
+                                   dropout_rng=drop_rng, impl=ctx.attn_impl)
+        # per-token fc: [n, L, d_v] x [d_v, d_v]
+        out = jnp.einsum("nld,de->nle", out, w) + params["fc"]["b"]
     out = ctx.dropout(out, 0.1)
     if fea_hw is not None:
         h, w_ = fea_hw

@@ -45,13 +45,15 @@ class Ctx:
         self._n_rng += 1
         return key
 
-    def bn(self, x, p, activation=None):
-        """BatchNorm; returns (y, possibly-updated bn params)."""
+    def bn(self, x, p, activation=None, residual=None):
+        """BatchNorm (optionally fused with ``+ residual`` and the
+        activation); returns (y, possibly-updated bn params)."""
         if self.train:
             y, new = batch_norm(x, p, train=True, activation=activation,
-                                axis_name=self.axis_name)
+                                axis_name=self.axis_name, residual=residual)
             return y, {**p, **new}
-        return batch_norm(x, p, train=False, activation=activation), p
+        return batch_norm(x, p, train=False, activation=activation,
+                          residual=residual), p
 
     def dropout(self, x, rate: float):
         if not self.train or not self.use_dropout or rate <= 0.0:

@@ -176,14 +176,16 @@ def _apply_basic(b, x, spec, ctx: Ctx):
     out, nb["bn1"] = ctx.bn(out, b["bn1"], activation="relu")
     out = _conv3x3(out, b["conv2"]["w"], ctx, stride=1,
                    padding=spec["prev_dil"], dilation=spec["prev_dil"])
-    out, nb["bn2"] = ctx.bn(out, b["bn2"])
     if "downsample" in b:
         res = conv2d(x, b["downsample"]["conv"]["w"], stride=spec["stride"])
         res, dbn = ctx.bn(res, b["downsample"]["bn"])
         nb["downsample"] = {"conv": b["downsample"]["conv"], "bn": dbn}
     else:
         res = x
-    return jax.nn.relu(out + res), nb
+    # block tail bn -> += identity -> relu as one fused op (one backward
+    # pass instead of bn-bwd + relu-bwd over the c4-grid activation)
+    out, nb["bn2"] = ctx.bn(out, b["bn2"], activation="relu", residual=res)
+    return out, nb
 
 
 def _apply_bottleneck(b, x, spec, ctx: Ctx):
@@ -194,14 +196,14 @@ def _apply_bottleneck(b, x, spec, ctx: Ctx):
                    padding=spec["dil"], dilation=spec["dil"])
     out, nb["bn2"] = ctx.bn(out, b["bn2"], activation="relu")
     out = conv2d(out, b["conv3"]["w"])
-    out, nb["bn3"] = ctx.bn(out, b["bn3"])
     if "downsample" in b:
         res = conv2d(x, b["downsample"]["conv"]["w"], stride=spec["stride"])
         res, dbn = ctx.bn(res, b["downsample"]["bn"])
         nb["downsample"] = {"conv": b["downsample"]["conv"], "bn": dbn}
     else:
         res = x
-    return jax.nn.relu(out + res), nb
+    out, nb["bn3"] = ctx.bn(out, b["bn3"], activation="relu", residual=res)
+    return out, nb
 
 
 def apply_resnet(params: dict, x: jnp.ndarray, cfg: ResNetConfig, ctx: Ctx):

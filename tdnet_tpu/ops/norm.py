@@ -91,6 +91,56 @@ def _bn_act_train_bwd(eps, activation, axis_name, res, dy):
 _bn_act_train.defvjp(_bn_act_train_fwd, _bn_act_train_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _bn_add_act_train(x, resid, scale, bias, nhw_stats, eps, activation,
+                      axis_name):
+    """act(bn(x) + resid) — the residual-block tail (reference
+    BasicBlock/Bottleneck: bn -> += identity -> relu) as ONE fused op
+    with the same 2-pass VJP as ``_bn_act_train``. Folding the add+relu
+    in removes a separate activation backward pass (select + layout
+    copy) per block over the c4-grid activations."""
+    mean, inv = nhw_stats
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    y = ((x.astype(cdt) - mean) * (inv * scale.astype(cdt))
+         + bias.astype(cdt) + resid.astype(cdt)).astype(x.dtype)
+    return _apply_act(y, activation)
+
+
+def _bn_add_act_train_fwd(x, resid, scale, bias, nhw_stats, eps, activation,
+                          axis_name):
+    y = _bn_add_act_train(x, resid, scale, bias, nhw_stats, eps, activation,
+                          axis_name)
+    return y, (x, scale, nhw_stats, y)
+
+
+def _bn_add_act_train_bwd(eps, activation, axis_name, res, dy):
+    x, scale, (mean, inv), y = res
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    if activation == "leaky_relu":
+        dpre = jnp.where(y >= 0, dy, dy * jnp.asarray(0.01, dy.dtype))
+    elif activation == "relu":
+        dpre = jnp.where(y > 0, dy, jnp.zeros((), dy.dtype))
+    else:
+        dpre = dy
+    xhat = ((x.astype(cdt) - mean) * inv).astype(x.dtype)
+    red = tuple(range(x.ndim - 1))
+    db = jnp.sum(dpre, axis=red, dtype=cdt)
+    ds = jnp.sum((dpre * xhat), axis=red, dtype=cdt)
+    dprec = dpre.astype(cdt)
+    n = x.size // x.shape[-1]
+    if axis_name is not None:
+        db = jax.lax.psum(db, axis_name)
+        ds = jax.lax.psum(ds, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
+    dx = ((scale.astype(cdt) * inv)
+          * (dprec - db / n - xhat.astype(cdt) * (ds / n))).astype(x.dtype)
+    return (dx, dpre, ds.astype(scale.dtype), db.astype(scale.dtype),
+            (None, None))
+
+
+_bn_add_act_train.defvjp(_bn_add_act_train_fwd, _bn_add_act_train_bwd)
+
+
 def init_batch_norm(c: int, dtype=jnp.float32):
     return {
         "scale": jnp.ones((c,), dtype),
@@ -103,7 +153,7 @@ def init_batch_norm(c: int, dtype=jnp.float32):
 def batch_norm(x: jnp.ndarray, params: dict, *, train: bool = False,
                eps: float = 1e-5, momentum: float = 0.1,
                activation: str | None = None, axis_name: str | None = None,
-               fused: bool = True):
+               fused: bool = True, residual: jnp.ndarray | None = None):
     """NHWC batch norm. Returns ``y`` in eval mode, ``(y, new_stats)`` in train.
 
     ``new_stats`` is a dict with updated ``mean``/``var`` running buffers
@@ -138,18 +188,29 @@ def batch_norm(x: jnp.ndarray, params: dict, *, train: bool = False,
             # so the stats enter through a stop_gradient boundary
             stats = (jax.lax.stop_gradient(mean),
                      jax.lax.stop_gradient(jax.lax.rsqrt(var + eps)))
-            y = _bn_act_train(x, params["scale"], params["bias"], stats,
-                              eps, activation, axis_name)
+            if residual is None:
+                y = _bn_act_train(x, params["scale"], params["bias"], stats,
+                                  eps, activation, axis_name)
+            else:
+                y = _bn_add_act_train(x, residual, params["scale"],
+                                      params["bias"], stats, eps, activation,
+                                      axis_name)
             return y, new_stats
         inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(cdt)
         y = ((x.astype(cdt) - mean) * inv
              + params["bias"].astype(cdt)).astype(x.dtype)
+        if residual is not None:
+            # add AFTER the storage-dtype cast: identical rounding to the
+            # unfused two-op form (bn then out + res)
+            y = y + residual
         return _apply_act(y, activation), new_stats
 
     mean = params["mean"].astype(cdt)
     var = params["var"].astype(cdt)
     inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(cdt)
     y = ((x.astype(cdt) - mean) * inv + params["bias"].astype(cdt)).astype(x.dtype)
+    if residual is not None:
+        y = y + residual
     return _apply_act(y, activation)
 
 

@@ -24,3 +24,21 @@ assert jax.device_count() == 8, jax.devices()
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: full-geometry / long-running oracle tests")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="include tests marked slow (the full oracle lane; the "
+             "default lane finishes in <10 min on a 1-core host)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    import pytest
+    skip = pytest.mark.skip(
+        reason="slow oracle lane: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

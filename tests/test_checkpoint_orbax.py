@@ -39,6 +39,7 @@ def _trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.slow
 def test_sharded_roundtrip_preserves_shardings(sharded_state, tmp_path):
     path = str(tmp_path / "state.orbax")
     ckpt.save_pytree_orbax(path, sharded_state)

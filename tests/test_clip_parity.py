@@ -115,7 +115,7 @@ def _training_sd_to_testing_names(sd, path_num):
 
 
 @pytest.mark.parametrize("arch,path_num,backbone,pool_before", [
-    ("td4_psp", 4, "resnet18", True),
+    pytest.param("td4_psp", 4, "resnet18", True, marks=pytest.mark.slow),
     ("td2_psp", 2, "resnet50", False),
 ])
 def test_clip_forward_parity(arch, path_num, backbone, pool_before):

@@ -21,6 +21,7 @@ from tdnet_tpu.nn.module import Ctx
     dict(nclass=19, backbone="resnet10", path_num=2, in_size=(97, 129),
          kv_stride=5),                       # unusual stride
 ])
+@pytest.mark.slow
 def test_streaming_and_training_across_configs(case):
     cfg = TDNetConfig(aux=True, **case)
     params = init_tdnet(jax.random.PRNGKey(0), cfg)

@@ -95,6 +95,7 @@ def _tiny_cfg(root, tmpdir, dataset, arch, path_num, crop):
     ("camvid", "td2_psp", 2, 11),
     ("nyud2", "td4_psp", 4, 40),
 ])
+@pytest.mark.slow
 def test_dataset_train_validate_e2e(dataset, arch, path_num, nclass,
                                     tmp_path, monkeypatch):
     from tdnet_tpu.cli.train import train

@@ -83,6 +83,7 @@ def _tiny_config(root, tmpdir, path_num=4):
     return path
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(synth_root, tmp_path, monkeypatch):
     from tdnet_tpu.cli.train import train
     from tdnet_tpu.utils.checkpoint import get_logger, make_run_dir
@@ -138,6 +139,7 @@ def test_train_cli_nan_guard(synth_root, tmp_path, monkeypatch):
     assert os.path.isfile(os.path.join(logdir, "state_nan_abort.pkl"))
 
 
+@pytest.mark.slow
 def test_train_cli_orbax_checkpoint_and_resume(synth_root, tmp_path,
                                                monkeypatch):
     """ckpt_backend: orbax writes per-shard directory checkpoints on the

@@ -1,5 +1,6 @@
 """AOT export round trip: serialized streaming step == live step."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -11,6 +12,7 @@ from tdnet_tpu.nn.module import Ctx
 from tdnet_tpu.stream.export import ExportedStreamer, export_streaming_model
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tmp_path):
     cfg = TDNetConfig(nclass=19, backbone="resnet10", path_num=4,
                       in_size=(65, 129), kv_stride=3, aux=False)

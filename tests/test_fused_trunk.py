@@ -1,5 +1,6 @@
 """The z-free fused grouped-PSP+QKV path equals the reference dataflow."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -52,6 +53,7 @@ def test_fused_trunk_td2_geometry():
                                    err_msg=f"frame {i}")
 
 
+@pytest.mark.slow
 def test_fused_trunk_bf16_consistency():
     """The headline bench runs the fused trunk in bf16; pin that the
     bf16 fused path tracks the bf16 reference dataflow (measured maxabs

@@ -45,6 +45,7 @@ def _leaves_with_key(tree, keys):
     return out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("teacher", [False, True])
 def test_bf16_step_tracks_f32(teacher):
     cfg, tcfg, t_params, frames, labels = _setup(teacher)

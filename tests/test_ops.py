@@ -367,3 +367,40 @@ def test_batch_norm_fused_vjp_matches_autodiff():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(dss), np.asarray(dsr),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_batch_norm_residual_fused_vjp():
+    """bn(x) + residual -> act fused (the residual-block tail): outputs
+    and all gradients (x, residual, scale, bias) match the unfused
+    two-op composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tdnet_tpu.ops.norm import batch_norm, init_batch_norm
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 9, 11, 16).astype(np.float32))
+    res = jnp.asarray(rng.randn(2, 9, 11, 16).astype(np.float32))
+    dy = jnp.asarray(rng.randn(2, 9, 11, 16).astype(np.float32))
+    p = init_batch_norm(16)
+    p = {**p, "scale": jnp.asarray(rng.rand(16).astype(np.float32) + 0.5),
+         "bias": jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)}
+
+    def loss_fused(x_, r_, s_):
+        y, _ = batch_norm(x_, {**p, "scale": s_}, train=True,
+                          activation="relu", residual=r_)
+        return jnp.vdot(y, dy)
+
+    def loss_ref(x_, r_, s_):
+        y, _ = batch_norm(x_, {**p, "scale": s_}, train=True, fused=False)
+        return jnp.vdot(jax.nn.relu(y + r_), dy)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, res, p["scale"])
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, res, p["scale"])
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+    # eval mode: residual path must be bit-identical to the two-op form
+    ye = batch_norm(x, p, train=False, activation="relu", residual=res)
+    y2 = jax.nn.relu(batch_norm(x, p, train=False) + res)
+    np.testing.assert_array_equal(np.asarray(ye), np.asarray(y2))

@@ -19,6 +19,7 @@ def _tiny_cfg():
                        in_size=(65, 129), kv_stride=3, aux=False)
 
 
+@pytest.mark.slow
 def test_run_pipelined_equals_stepwise():
     cfg = _tiny_cfg()
     params = init_tdnet(jax.random.PRNGKey(0), cfg)

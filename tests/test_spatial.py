@@ -1,5 +1,6 @@
 """Spatially-partitioned streaming equals the single-device step."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -12,6 +13,7 @@ from tdnet_tpu.parallel.mesh import make_spatial_mesh
 from tdnet_tpu.parallel.spatial import make_spatial_stream_step
 
 
+@pytest.mark.slow
 def test_spatial_streaming_matches_single_device():
     cfg = TDNetConfig(nclass=19, backbone="resnet10", path_num=4,
                       in_size=(64, 128), kv_stride=3, aux=False)

@@ -35,6 +35,7 @@ def _assert_trees_close(a, b, atol):
     (4, "resnet18", True),
     (2, "resnet50", False),
 ])
+@pytest.mark.slow
 def test_tdnet_unroll_matches_vmap(path_num, backbone, pool_before):
     cfg = TDNetConfig(nclass=19, backbone=backbone, path_num=path_num,
                       in_size=IN_HW, kv_stride=3,
@@ -56,6 +57,7 @@ def test_tdnet_unroll_matches_vmap(path_num, backbone, pool_before):
                             atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fanet_unroll_matches_vmap():
     # 160x320, NOT smaller: FANet strides to /32, and train-mode BN
     # moments over a degenerate 2x4 deepest grid amplify float noise
