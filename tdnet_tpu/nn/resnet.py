@@ -34,10 +34,21 @@ def _conv3x3(x, w, ctx: Ctx, *, stride: int, padding: int, dilation: int):
     """Residual-block 3x3 conv. In training the stride-1 convs route
     through per-tap dense MXU matmuls — XLA's phase-decomposed dilated
     convs (and especially their weight gradients, ~45 TFLOP/s) dominated
-    the bf16 train profile on v5e. ``ctx.conv_wgrad``: "mm" = fully
-    matmul-form conv (fwd+dgrad+wgrad), "mm_wgrad" = XLA fwd/dgrad with
-    matmul wgrad only, "xla" = native convs."""
+    the bf16 train profile on v5e. ``ctx.conv_wgrad``:
+    - "mm_wgrad": XLA fwd/dgrad + matmul wgrad — the measured-best mix
+      end to end (default);
+    - "pallas": kernels/dilated_conv row-block kernel for dilation >= 4
+      (fwd + dgrad; tap-matmul wgrad), mm_wgrad below. Wins per-conv in
+      isolation but the pallas_call boundary blocks XLA fusion around it
+      and the full step regresses — opt-in only;
+    - "mm": fully matmul-form conv (measured slower; kept for A/B);
+    - "xla": native convs."""
     if ctx.train and stride == 1:
+        if ctx.conv_wgrad == "pallas":
+            if dilation >= 4:
+                from tdnet_tpu.kernels.dilated_conv import conv2d_pallas_dil
+                return conv2d_pallas_dil(x, w, padding, dilation)
+            return conv2d_mm_wgrad(x, w, padding, dilation)
         if ctx.conv_wgrad == "mm":
             return conv2d_mm(x, w, padding, dilation)
         if ctx.conv_wgrad == "mm_wgrad":

@@ -94,7 +94,7 @@ def make_loss_of(cfg: TDNetConfig, *,
                  teacher_cfg: TeacherConfig | None = None,
                  loss_fn=None, axis_name=None, use_dropout: bool = True,
                  compute_dtype=None, unroll: bool = True,
-                 stem_impl: str = "oct"):
+                 stem_impl: str = "oct", conv_wgrad: str | None = None):
     """The assembled training loss (reference td4_psp.py:367-374):
     ``CE(out) + 0.5*CE(out_sub) [+ 0.1*CE(auxout)] + 1.0*KD`` where
     ``KD = KL(out||T_full) + 0.5*KL(out_sub||T_group_p)`` at the c4 grid.
@@ -119,12 +119,22 @@ def make_loss_of(cfg: TDNetConfig, *,
     """
     if loss_fn is None:
         loss_fn = lambda lg, lb: cross_entropy(lg, lb, 250)
+    if conv_wgrad is None:
+        # measured per-dtype on v5e (TD4-PSP18 full recipe): bf16 is
+        # fastest with XLA fwd/dgrad + matmul wgrad (140.6 ms/step;
+        # "mm" 149.7 was slower), while f32 is fastest fully matmul-form
+        # ("mm" 164.7 vs "mm_wgrad" 181.1 — f32 direct convs pay more
+        # than the mm slices cost). The Pallas dilated-conv kernel wins
+        # per-conv in isolation but regresses the full step (179.5) —
+        # the pallas_call boundary blocks fusion; opt-in only.
+        conv_wgrad = "mm" if compute_dtype is None else "mm_wgrad"
 
     fwd = model_clip_forward(cfg)
 
     def loss_of(params, frames, labels, pos_id, rng, teacher_params):
         ctx = Ctx(train=True, rng=rng, axis_name=axis_name,
-                  use_dropout=use_dropout, stem_impl=stem_impl)
+                  use_dropout=use_dropout, stem_impl=stem_impl,
+                  conv_wgrad=conv_wgrad)
         fparams, fframes = params, frames
         if compute_dtype is not None:
             fparams = _cast_wb(params, compute_dtype)
@@ -157,7 +167,8 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
                     teacher_cfg: TeacherConfig | None = None,
                     max_iter: int = 40000, loss_fn=None,
                     opt_kwargs: dict | None = None, axis_name=None,
-                    donate: bool = True, compute_dtype=None):
+                    donate: bool = True, compute_dtype=None,
+                    conv_wgrad: str | None = None):
     """Returns jitted ``step(state, frames, labels, pos_id[, teacher_params])``.
 
     frames: [P, N, H, W, 3] float32 (f1..fP, oldest..current);
@@ -168,7 +179,7 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
     opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
     loss_of = make_loss_of(cfg, teacher_cfg=teacher_cfg, loss_fn=loss_fn,
                            axis_name=axis_name, compute_dtype=compute_dtype,
-                           unroll=_mesh_unroll(mesh))
+                           unroll=_mesh_unroll(mesh), conv_wgrad=conv_wgrad)
 
     def step(state, frames, labels, pos_id, teacher_params=None):
         tx, schedule = ada_optimizer(state["params"], **opt_kwargs)
