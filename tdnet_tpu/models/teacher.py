@@ -63,8 +63,14 @@ def init_teacher(key, cfg: TeacherConfig, dtype=jnp.float32) -> dict:
     }
 
 
-def apply_teacher(params: dict, x: jnp.ndarray, cfg: TeacherConfig):
-    """Returns (T_full, T_1, ..., T_P) logits at the c4 grid resolution.
+def apply_teacher(params: dict, x: jnp.ndarray, cfg: TeacherConfig,
+                  group_id: jnp.ndarray | None = None):
+    """Returns (T_full, T_1, ..., T_P) logits at the c4 grid resolution,
+    or — when ``group_id`` (a traced int, the student's pos_id) is given —
+    ``(T_full, T_group_id)`` with ONLY that group's head applied. The KD
+    loss consumes exactly T_full and T_{pos_id} (reference
+    td4_psp.py:370-374); running the shared PredLayer over the three
+    unused groups was pure waste in the train step.
 
     Always runs in eval mode (the reference calls teacher.eval() before
     every use and freezes all params: pspnet_4p.py:124-128).
@@ -78,8 +84,16 @@ def apply_teacher(params: dict, x: jnp.ndarray, cfg: TeacherConfig):
         gs.append(apply_group_conv(params["groups"][p], z))
     full, _ = apply_pred_layer(params["head"], sum(gs), ctx)
     scale = 4.0 if cfg.path_num == 4 else 1.0
+    swap = cfg.path_num == 4 and cfg.compat_swap
+    if group_id is not None:
+        # group feature the student at pos_id trains against, honoring the
+        # reference's tuple-order crossing: T_2 is group 3, T_3 is group 2.
+        order = [0, 2, 1, 3] if swap else list(range(cfg.path_num))
+        sel = sum(jnp.where(group_id == i, 1.0, 0.0).astype(g.dtype) * g
+                  for i, g in zip(order, gs))
+        return full, apply_pred_layer(params["head"], sel * scale, ctx)[0]
     outs = [apply_pred_layer(params["head"], g * scale, ctx)[0] for g in gs]
-    if cfg.path_num == 4 and cfg.compat_swap:
+    if swap:
         # reference returns (out12, out1, out3, out2, out4) and unpacks it
         # as (T_full, T_1, T_2, T_3, T_4): the student's T_2 is group 3's
         # logits and T_3 is group 2's.

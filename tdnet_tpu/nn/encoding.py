@@ -110,7 +110,17 @@ def apply_attention(params: dict, k_src: jnp.ndarray, v_src: jnp.ndarray,
     do_drop = ctx.train and ctx.use_dropout
     drop_rng = ctx.next_rng() if (do_drop and ctx.rng is not None) else None
     w = params["fc"]["w"][0, 0]  # [d_v, d_v] (HWIO 1x1)
-    if ctx.attn_impl == "pallas" and drop_rng is None:
+    if ctx.attn_impl == "pallas" and ctx.train:
+        # differentiable fused kernel (custom VJP; in-kernel hardware-PRNG
+        # dropout) — the [Lq, Lkv] score matrix never touches HBM in
+        # either pass. The fc stays outside: its weights need gradients.
+        from tdnet_tpu.kernels.propagation_attention_train import \
+            fused_propagation_attention_train
+        out = fused_propagation_attention_train(
+            q_tgr, k_src, v_src, temperature=temperature,
+            dropout_rate=0.1 if do_drop else 0.0, dropout_rng=drop_rng)
+        out = jnp.einsum("nld,de->nle", out, w) + params["fc"]["b"]
+    elif ctx.attn_impl == "pallas" and drop_rng is None:
         # fused path: the per-token fc rides inside the kernel — the
         # [Lq, d_v] PV field never round-trips HBM before the projection
         from tdnet_tpu.kernels.propagation_attention import \

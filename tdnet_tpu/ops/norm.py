@@ -72,15 +72,20 @@ def _bn_act_train_bwd(eps, activation, axis_name, res, dy):
     red = tuple(range(x.ndim - 1))
     db = jnp.sum(dpre, axis=red, dtype=cdt)
     ds = jnp.sum((dpre * xhat), axis=red, dtype=cdt)
-    dpre = dpre.astype(cdt)
-    xhat = xhat.astype(cdt)
     n = x.size // x.shape[-1]
     if axis_name is not None:
         db = jax.lax.psum(db, axis_name)
         ds = jax.lax.psum(ds, axis_name)
         n = n * jax.lax.psum(1, axis_name)
-    dx = ((scale.astype(cdt) * inv)
-          * (dpre - db / n - xhat * (ds / n))).astype(x.dtype)
+    # the dx combine runs in the STORAGE dtype with per-channel f32
+    # coefficients pre-cast once ([C] vectors): upcasting the [N,H,W,C]
+    # dpre/xhat tensors to f32 materialized standalone convert+relayout
+    # copies (~7.6 ms of the bf16 TD4 train step) because bf16 and f32
+    # tile differently on TPU. For f32 inputs storage == compute dtype
+    # and the math is unchanged.
+    dx = ((scale.astype(cdt) * inv).astype(x.dtype)
+          * (dpre - (db / n).astype(x.dtype)
+             - xhat * (ds / n).astype(x.dtype)))
     # nhw_stats entered through a stop_gradient boundary (torch: batch
     # stats are constants w.r.t. the parameters being optimized is NOT
     # true — the db/n and ds/n terms above ARE the mean/var chain terms,
@@ -126,14 +131,15 @@ def _bn_add_act_train_bwd(eps, activation, axis_name, res, dy):
     red = tuple(range(x.ndim - 1))
     db = jnp.sum(dpre, axis=red, dtype=cdt)
     ds = jnp.sum((dpre * xhat), axis=red, dtype=cdt)
-    dprec = dpre.astype(cdt)
     n = x.size // x.shape[-1]
     if axis_name is not None:
         db = jax.lax.psum(db, axis_name)
         ds = jax.lax.psum(ds, axis_name)
         n = n * jax.lax.psum(1, axis_name)
-    dx = ((scale.astype(cdt) * inv)
-          * (dprec - db / n - xhat.astype(cdt) * (ds / n))).astype(x.dtype)
+    # storage-dtype dx combine — see _bn_act_train_bwd
+    dx = ((scale.astype(cdt) * inv).astype(x.dtype)
+          * (dpre - (db / n).astype(x.dtype)
+             - xhat * (ds / n).astype(x.dtype)))
     return (dx, dpre, ds.astype(scale.dtype), db.astype(scale.dtype),
             (None, None))
 

@@ -94,7 +94,8 @@ def make_loss_of(cfg: TDNetConfig, *,
                  teacher_cfg: TeacherConfig | None = None,
                  loss_fn=None, axis_name=None, use_dropout: bool = True,
                  compute_dtype=None, unroll: bool = True,
-                 stem_impl: str = "oct", conv_wgrad: str | None = None):
+                 stem_impl: str = "oct", conv_wgrad: str | None = None,
+                 attn_impl: str | None = None):
     """The assembled training loss (reference td4_psp.py:367-374):
     ``CE(out) + 0.5*CE(out_sub) [+ 0.1*CE(auxout)] + 1.0*KD`` where
     ``KD = KL(out||T_full) + 0.5*KL(out_sub||T_group_p)`` at the c4 grid.
@@ -128,13 +129,19 @@ def make_loss_of(cfg: TDNetConfig, *,
         # per-conv in isolation but regresses the full step (179.5) —
         # the pallas_call boundary blocks fusion; opt-in only.
         conv_wgrad = "mm" if compute_dtype is None else "mm_wgrad"
+    if attn_impl is None:
+        # the differentiable fused attention kernel (custom VJP, in-kernel
+        # dropout) is Mosaic/TPU-only; CPU meshes (tests, the multichip
+        # dryrun) keep the XLA formulation. Same math, float-sum order
+        # apart; dropout RNG streams are impl-defined (docs/PARITY.md).
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     fwd = model_clip_forward(cfg)
 
     def loss_of(params, frames, labels, pos_id, rng, teacher_params):
         ctx = Ctx(train=True, rng=rng, axis_name=axis_name,
                   use_dropout=use_dropout, stem_impl=stem_impl,
-                  conv_wgrad=conv_wgrad)
+                  conv_wgrad=conv_wgrad, attn_impl=attn_impl)
         fparams, fframes = params, frames
         if compute_dtype is not None:
             fparams = _cast_wb(params, compute_dtype)
@@ -148,9 +155,8 @@ def make_loss_of(cfg: TDNetConfig, *,
         if teacher_cfg is not None and teacher_params is not None:
             tparams = (teacher_params if compute_dtype is None
                        else _cast_wb(teacher_params, compute_dtype))
-            t_out = apply_teacher(tparams, fframes[-1], teacher_cfg)
-            t_full, t_groups = t_out[0], jnp.stack(t_out[1:])
-            t_grp = t_groups[pos_id]
+            t_full, t_grp = apply_teacher(tparams, fframes[-1], teacher_cfg,
+                                          group_id=pos_id)
             kd = (kl_divergence(res["out_lowres"], t_full)
                   + 0.5 * kl_divergence(res["out_sub_lowres"], t_grp))
             loss = loss + kd
@@ -168,7 +174,8 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
                     max_iter: int = 40000, loss_fn=None,
                     opt_kwargs: dict | None = None, axis_name=None,
                     donate: bool = True, compute_dtype=None,
-                    conv_wgrad: str | None = None):
+                    conv_wgrad: str | None = None,
+                    attn_impl: str | None = None):
     """Returns jitted ``step(state, frames, labels, pos_id[, teacher_params])``.
 
     frames: [P, N, H, W, 3] float32 (f1..fP, oldest..current);
@@ -179,7 +186,8 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
     opt_kwargs = {**DEFAULT_OPT, **(opt_kwargs or {}), "max_iter": max_iter}
     loss_of = make_loss_of(cfg, teacher_cfg=teacher_cfg, loss_fn=loss_fn,
                            axis_name=axis_name, compute_dtype=compute_dtype,
-                           unroll=_mesh_unroll(mesh), conv_wgrad=conv_wgrad)
+                           unroll=_mesh_unroll(mesh), conv_wgrad=conv_wgrad,
+                           attn_impl=attn_impl)
 
     def step(state, frames, labels, pos_id, teacher_params=None):
         tx, schedule = ada_optimizer(state["params"], **opt_kwargs)

@@ -53,3 +53,80 @@ def test_fused_attention_fc_matches_xla(lq, lk, dv, monkeypatch):
                                          fc_w=wfc, fc_b=bfc)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-4, rtol=1e-3)
+
+
+def _interp(monkeypatch, mod):
+    orig = mod.pl.pallas_call
+    monkeypatch.setattr(mod.pl, "pallas_call",
+                        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+
+
+@pytest.mark.parametrize("lq,lk,dv", [(1000, 130, 256), (513, 28, 128)])
+def test_train_attention_fwd_grads_match_xla(lq, lk, dv, monkeypatch):
+    """The differentiable train kernel (custom VJP) must match XLA
+    autodiff of the reference formulation — forward and all three
+    gradients — with dropout off (the deterministic oracle path)."""
+    from tdnet_tpu.kernels import propagation_attention_train as pat
+    _interp(monkeypatch, pat)
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, lq, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, lk, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, lk, dv).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, lq, dv).astype(np.float32))
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * w)
+
+    ref_fn = loss(lambda q, k, v: scaled_dot_attention(
+        q, k, v, temperature=8.0, impl="xla"))
+    ker_fn = loss(lambda q, k, v: pat.fused_propagation_attention_train(
+        q, k, v, temperature=8.0))
+    np.testing.assert_allclose(float(ker_fn(q, k, v)), float(ref_fn(q, k, v)),
+                               rtol=1e-5)
+    gr = jax.grad(ref_fn, (0, 1, 2))(q, k, v)
+    gk = jax.grad(ker_fn, (0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_train_attention_dropout_grads_exact(monkeypatch):
+    """With dropout on, extract the kernel's keep mask (v = identity makes
+    the forward return the dropped softmax matrix itself), then check the
+    kernel's VJP against XLA autodiff of the SAME-mask reference."""
+    from tdnet_tpu.kernels import propagation_attention_train as pat
+    _interp(monkeypatch, pat)
+    lq, lk, dv = 512, 128, 128
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(1, lq, 64).astype(np.float32))
+    k = jnp.asarray(rs.randn(1, lk, 64).astype(np.float32))
+    v = jnp.asarray(rs.randn(1, lk, dv).astype(np.float32))
+    eye = jnp.eye(lk, dtype=jnp.float32)[None]
+    key = jax.random.PRNGKey(11)
+    import functools
+    fker = functools.partial(pat.fused_propagation_attention_train,
+                             temperature=8.0, dropout_rate=0.1,
+                             dropout_rng=key)
+    try:
+        pd = fker(q, k, eye)[0]
+    except Exception as e:  # pltpu PRNG may lack an interpret rule
+        pytest.skip(f"pltpu prng unsupported in interpret mode: {e}")
+    keep = pd != 0
+    rate = float(jnp.mean(keep))
+    assert 0.85 < rate < 0.95  # Bernoulli(0.9)
+
+    def ref(q, k, v):
+        s = jnp.einsum("nqd,nkd->nqk", q, k) / 8.0
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("nqk,nkv->nqv", jnp.where(keep[None], p / 0.9, 0.0), v)
+
+    w = jnp.asarray(rs.randn(1, lq, dv).astype(np.float32))
+    lr_ = lambda q, k, v: jnp.sum(ref(q, k, v) * w)
+    lk_ = lambda q, k, v: jnp.sum(fker(q, k, v) * w)
+    np.testing.assert_allclose(float(lk_(q, k, v)), float(lr_(q, k, v)),
+                               rtol=1e-5)
+    gr = jax.grad(lr_, (0, 1, 2))(q, k, v)
+    gk = jax.grad(lk_, (0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-3)
