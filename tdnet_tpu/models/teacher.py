@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tdnet_tpu.nn import (BACKBONES, Ctx, apply_group_conv, apply_pred_layer,
-                          apply_pyramid_pooling, apply_resnet,
+                          apply_pyramid_pooling_groups, apply_resnet,
                           init_group_conv, init_pred_layer,
                           init_pyramid_pooling, init_resnet)
 
@@ -77,11 +77,12 @@ def apply_teacher(params: dict, x: jnp.ndarray, cfg: TeacherConfig,
     """
     ctx = Ctx(train=False)
     _, c4, _ = apply_resnet(params["backbone"], x, cfg.backbone_cfg, ctx)
-    gs = []
-    for p in range(cfg.path_num):
-        z, _ = apply_pyramid_pooling(params["psp"], c4, ctx,
-                                     path_num=cfg.path_num, pid=p)
-        gs.append(apply_group_conv(params["groups"][p], z))
+    # shared-branch grouped PSP: pools/convs/BN/upsamples run once, not
+    # once per group (nn/pyramid.py:apply_pyramid_pooling_groups)
+    zs, _ = apply_pyramid_pooling_groups(params["psp"], c4, ctx,
+                                         cfg.path_num)
+    gs = [apply_group_conv(params["groups"][p], z)
+          for p, z in enumerate(zs)]
     full, _ = apply_pred_layer(params["head"], sum(gs), ctx)
     scale = 4.0 if cfg.path_num == 4 else 1.0
     swap = cfg.path_num == 4 and cfg.compat_swap

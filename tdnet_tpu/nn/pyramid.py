@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tdnet_tpu.nn.module import Ctx
-from tdnet_tpu.ops import (adaptive_avg_pool, conv2d, init_batch_norm,
+from tdnet_tpu.ops import (adaptive_avg_pool_multi, conv2d, init_batch_norm,
                            init_conv_kaiming, resize_bilinear)
 
 _BINS = (1, 2, 3, 6)
@@ -50,10 +50,14 @@ def apply_pyramid_pooling(params: dict, x: jnp.ndarray, ctx: Ctx, *,
     if path_num is not None:
         g, gq = c // path_num, c // (path_num * 4)
 
+    # all four pyramid pools in ONE pass over x (ops/pool.py:64) — the
+    # per-bin cell-mean form read x 4x forward and scattered 4 backward
+    # passes; the matmul form's VJP is two small einsum transposes
+    pools = adaptive_avg_pool_multi(x, _BINS)
     feats = []
     for i, bins in enumerate(_BINS):
         br = dict(params[f"conv{i + 1}"])
-        f = adaptive_avg_pool(x, bins)
+        f = pools[i]
         f = conv2d(f, br["conv"]["w"])
         f, br["bn"] = ctx.bn(f, br["bn"], activation="relu")
         if path_num is not None:
@@ -70,6 +74,36 @@ def apply_pyramid_pooling(params: dict, x: jnp.ndarray, ctx: Ctx, *,
     if path_num is not None:
         x = chan_slice(x, pid * g, g)
     return jnp.concatenate([x] + feats, axis=-1), np_
+
+
+def apply_pyramid_pooling_groups(params: dict, x: jnp.ndarray, ctx: Ctx,
+                                 path_num: int):
+    """All ``path_num`` grouped PSP outputs with the branch work SHARED.
+
+    The grouped teacher (reference pspnet_4p.py:95-102) evaluates the
+    same pyramid-pooling module once per group — pools, 1x1 convs, BN
+    and upsamples are identical across groups (shared params; only the
+    channel slices differ), so computing them per group did 4x the work.
+    Here each branch runs once at full width and the per-group z is
+    assembled by slicing. Returns (list of z per group, updated_params).
+    """
+    n, h, w, c = x.shape
+    np_ = dict(params)
+    g, gq = c // path_num, c // (path_num * 4)
+    pools = adaptive_avg_pool_multi(x, _BINS)
+    feats = []
+    for i in range(4):
+        br = dict(params[f"conv{i + 1}"])
+        f = conv2d(pools[i], br["conv"]["w"])
+        f, br["bn"] = ctx.bn(f, br["bn"], activation="relu")
+        f = resize_bilinear(f, (h, w))
+        np_[f"conv{i + 1}"] = br
+        feats.append(f)
+    zs = [jnp.concatenate(
+        [x[..., p * g:(p + 1) * g]]
+        + [f[..., p * gq:(p + 1) * gq] for f in feats], axis=-1)
+        for p in range(path_num)]
+    return zs, np_
 
 
 def init_psp_head(key, in_channels: int, nclass: int, dtype=jnp.float32) -> dict:

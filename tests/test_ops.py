@@ -404,3 +404,31 @@ def test_batch_norm_residual_fused_vjp():
     ye = batch_norm(x, p, train=False, activation="relu", residual=res)
     y2 = jax.nn.relu(batch_norm(x, p, train=False) + res)
     np.testing.assert_array_equal(np.asarray(ye), np.asarray(y2))
+
+
+def test_layer_norm_2d_custom_vjp_matches_autodiff():
+    """layer_norm_2d's hand-written 2-pass VJP vs XLA autodiff of the
+    naive formulation (same math; reference td4_psp18.py:306-312)."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 9, 13, 7).astype(np.float32))
+    s = jnp.asarray(1.0 + rng.randn(9, 13).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(9, 13).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(2, 9, 13, 7).astype(np.float32))
+
+    def naive(x, s, b, eps=1e-5):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        return y * s[None, :, :, None] + b[None, :, :, None]
+
+    from tdnet_tpu.ops.norm import layer_norm_2d
+    got = layer_norm_2d(x, {"scale": s, "bias": b})
+    np.testing.assert_allclose(np.asarray(got), np.asarray(naive(x, s, b)),
+                               atol=1e-6)
+    g1 = jax.grad(lambda *a: jnp.sum(layer_norm_2d(a[0], {"scale": a[1], "bias": a[2]}) * w), (0, 1, 2))(x, s, b)
+    g2 = jax.grad(lambda *a: jnp.sum(naive(*a) * w), (0, 1, 2))(x, s, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-6, rtol=1e-5)
