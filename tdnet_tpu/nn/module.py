@@ -58,6 +58,14 @@ class Ctx:
     def dropout(self, x, rate: float):
         if not self.train or not self.use_dropout or rate <= 0.0:
             return x
+        if self.attn_impl == "pallas" and x.shape[-1] % 128 == 0:
+            # TPU fast path (rides the same knob as the fused attention
+            # kernel): hardware-PRNG mask generated in VMEM, never
+            # materialized — threefry bernoulli over the [Lq, d_v] token
+            # field cost ~0.6 ms/hop. RNG streams are impl-defined
+            # (docs/PARITY.md).
+            from tdnet_tpu.kernels.dropout import dropout_tpu
+            return dropout_tpu(x, self.next_rng(), rate)
         keep = jax.random.bernoulli(self.next_rng(), 1.0 - rate, x.shape)
         return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
