@@ -15,7 +15,7 @@ import time
 REFERENCE_MS = {"td4-psp18": 85.0, "td2-psp50": 180.0, "psp101": 360.0}
 
 
-def bench_tdnet(model, in_size, dtype, attn_impl, n):
+def bench_tdnet(model, in_size, dtype, attn_impl, n, quant=None):
     import jax
     import jax.numpy as jnp
     from tdnet_tpu.models import init_tdnet, tdnet_config
@@ -23,7 +23,8 @@ def bench_tdnet(model, in_size, dtype, attn_impl, n):
 
     cfg = tdnet_config(model, in_size=in_size, streaming=True)
     params = init_tdnet(jax.random.PRNGKey(0), cfg)
-    s = Streamer(params, cfg, dtype=dtype, attn_impl=attn_impl)
+    s = Streamer(params, cfg, dtype=dtype, attn_impl=attn_impl,
+                 quant=quant)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, *in_size, 3), dtype)
     s.warm_compile(img)
     s.reset()
@@ -33,7 +34,7 @@ def bench_tdnet(model, in_size, dtype, attn_impl, n):
     return min(spf, spf2)
 
 
-def bench_psp101(in_size, dtype, n):
+def bench_psp101(in_size, dtype, n, quant=None):
     import jax
     import jax.numpy as jnp
     from tdnet_tpu.models import PSPNetConfig, apply_pspnet, init_pspnet
@@ -43,7 +44,8 @@ def bench_psp101(in_size, dtype, n):
     cfg = PSPNetConfig(nclass=19, backbone="resnet101", in_size=in_size)
     params = jax.tree.map(lambda x: x.astype(dtype),
                           init_pspnet(jax.random.PRNGKey(0), cfg))
-    fwd = jax.jit(lambda p, x: apply_pspnet(p, x, cfg, Ctx(train=False))[0])
+    ctx = Ctx(train=False, quant=quant)
+    fwd = jax.jit(lambda p, x: apply_pspnet(p, x, cfg, ctx)[0])
     img = jax.random.normal(jax.random.PRNGKey(1), (1, *in_size, 3), dtype)
     hard_sync(fwd(params, img))
     t0 = time.perf_counter()
@@ -66,6 +68,8 @@ def main(argv=None):
     parser.add_argument("--attn_impl", default="pallas",
                         choices=["xla", "pallas"])
     parser.add_argument("--frames", type=int, default=40)
+    parser.add_argument("--quant", default=None, choices=["int8"],
+                        help="opt-in int8 PTQ backbone (ops/quant.py)")
     args = parser.parse_args(argv)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -75,10 +79,11 @@ def main(argv=None):
     print("|---|---|---|---|")
     for model in args.models:
         if model == "psp101":
-            spf = bench_psp101(in_size, dtype, args.frames)
+            spf = bench_psp101(in_size, dtype, args.frames,
+                               quant=args.quant)
         else:
             spf = bench_tdnet(model, in_size, dtype, args.attn_impl,
-                              args.frames)
+                              args.frames, quant=args.quant)
         ref_ms = REFERENCE_MS.get(model)
         ref = f"{1000 / ref_ms:.1f} FPS ({ref_ms:.0f} ms)" if ref_ms else "—"
         speed = f"{(1 / spf) / (1000 / ref_ms):.1f}x" if ref_ms else "—"

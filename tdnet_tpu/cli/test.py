@@ -43,6 +43,9 @@ def main(argv=None):
     parser.add_argument("--warm_compile", action="store_true")
     parser.add_argument("--attn_impl", type=str, default="xla",
                         choices=["xla", "pallas"])
+    parser.add_argument("--quant", type=str, default=None,
+                        choices=["int8"],
+                        help="opt-in int8 PTQ backbone (ops/quant.py)")
     parser.add_argument("--no_save", action="store_true")
     parser.add_argument("--profile", type=str, default=None,
                         help="write a jax.profiler trace to this directory")
@@ -133,7 +136,8 @@ def main(argv=None):
             params = from_torch(sd, cfg)
         else:
             print(f"No pretrained found at '{ckpt_path}'")
-        streamer = Streamer(params, cfg, dtype=dtype, attn_impl=args.attn_impl)
+        streamer = Streamer(params, cfg, dtype=dtype,
+                            attn_impl=args.attn_impl, quant=args.quant)
         if args.warm_compile:
             example = jnp.zeros((1, *in_size, 3), dtype)
             streamer.warm_compile(example)

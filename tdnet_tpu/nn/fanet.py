@@ -34,9 +34,17 @@ def init_conv_bn(key, ks, cin, cout, dtype=jnp.float32):
             "bn": init_batch_norm(cout, dtype)}
 
 
-def apply_conv_bn(p, x, ctx: Ctx, *, stride=1, padding=0, activation=None):
+def apply_conv_bn(p, x, ctx: Ctx, *, stride=1, padding=0, activation=None,
+                  quantize=False):
+    """``quantize=True`` opts this conv into the int8 PTQ path when
+    ``ctx.quant == 'int8'`` (backbone residual blocks only; the stem and
+    the FAModule attention projections stay in the float dtype)."""
     np_ = dict(p)
-    y = conv2d(x, p["conv"]["w"], stride=stride, padding=padding)
+    if quantize and not ctx.train and ctx.quant == "int8":
+        from tdnet_tpu.ops.quant import conv2d_int8
+        y = conv2d_int8(x, p["conv"]["w"], stride=stride, padding=padding)
+    else:
+        y = conv2d(x, p["conv"]["w"], stride=stride, padding=padding)
     y, np_["bn"] = ctx.bn(y, p["bn"], activation=activation)
     return y, np_
 
@@ -98,16 +106,21 @@ def _apply_fanet_block(b, x, ctx: Ctx, block_kind: str, s: int):
     nb = dict(b)
     if block_kind == "basic":
         out, nb["conv1"] = apply_conv_bn(b["conv1"], x, ctx, stride=s,
-                                         padding=1, activation="leaky_relu")
-        out, nb["conv2"] = apply_conv_bn(b["conv2"], out, ctx, padding=1)
+                                         padding=1, activation="leaky_relu",
+                                         quantize=True)
+        out, nb["conv2"] = apply_conv_bn(b["conv2"], out, ctx, padding=1,
+                                         quantize=True)
     else:
         out, nb["conv1"] = apply_conv_bn(b["conv1"], x, ctx,
-                                         activation="leaky_relu")
+                                         activation="leaky_relu",
+                                         quantize=True)
         out, nb["conv2"] = apply_conv_bn(b["conv2"], out, ctx, stride=s,
-                                         padding=1, activation="leaky_relu")
-        out, nb["conv3"] = apply_conv_bn(b["conv3"], out, ctx)
+                                         padding=1, activation="leaky_relu",
+                                         quantize=True)
+        out, nb["conv3"] = apply_conv_bn(b["conv3"], out, ctx, quantize=True)
     if "downsample" in b:
-        sc, nb["downsample"] = apply_conv_bn(b["downsample"], x, ctx, stride=s)
+        sc, nb["downsample"] = apply_conv_bn(b["downsample"], x, ctx, stride=s,
+                                             quantize=True)
     else:
         sc = x
     return jax.nn.relu(sc + out), nb

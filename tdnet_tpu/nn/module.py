@@ -35,6 +35,9 @@ class Ctx:
     # fwd/dgrad) | "xla" (native conv-wgrad, ~45 TFLOP/s on v5e)
     conv_wgrad: str = "mm_wgrad"
     fused_trunk: bool = False  # z-free grouped-PSP+QKV path (inference perf)
+    # opt-in int8 PTQ for the backbone residual blocks (inference only;
+    # dynamic per-tensor activations, per-channel weights — ops/quant.py)
+    quant: str | None = None
     use_dropout: bool = True  # False: train-mode BN but no dropout (oracle tests)
     _n_rng: int = 0
 

@@ -26,6 +26,7 @@ from tdnet_tpu.ops import (conv2d, init_batch_norm, init_conv_msra_out,
                            max_pool)
 from tdnet_tpu.ops.conv import (conv2d_mm, conv2d_mm_wgrad, conv2d_stem_oct,
                                 conv2d_stem_s2d)
+from tdnet_tpu.ops.quant import conv2d_int8
 
 _MULTI_DILATIONS = (4, 8, 16)
 
@@ -53,7 +54,18 @@ def _conv3x3(x, w, ctx: Ctx, *, stride: int, padding: int, dilation: int):
             return conv2d_mm(x, w, padding, dilation)
         if ctx.conv_wgrad == "mm_wgrad":
             return conv2d_mm_wgrad(x, w, padding, dilation)
+    if not ctx.train and ctx.quant == "int8":
+        return conv2d_int8(x, w, stride=stride, padding=padding,
+                           dilation=dilation)
     return conv2d(x, w, stride=stride, padding=padding, dilation=dilation)
+
+
+def _conv1x1(x, w, ctx: Ctx, *, stride: int = 1):
+    """Residual-block 1x1 conv (bottleneck project/expand, downsample);
+    routes through the int8 MXU path with the 3x3s when quantized."""
+    if not ctx.train and ctx.quant == "int8":
+        return conv2d_int8(x, w, stride=stride)
+    return conv2d(x, w, stride=stride)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,7 +200,8 @@ def _apply_basic(b, x, spec, ctx: Ctx):
     out = _conv3x3(out, b["conv2"]["w"], ctx, stride=1,
                    padding=spec["prev_dil"], dilation=spec["prev_dil"])
     if "downsample" in b:
-        res = conv2d(x, b["downsample"]["conv"]["w"], stride=spec["stride"])
+        res = _conv1x1(x, b["downsample"]["conv"]["w"], ctx,
+                       stride=spec["stride"])
         res, dbn = ctx.bn(res, b["downsample"]["bn"])
         nb["downsample"] = {"conv": b["downsample"]["conv"], "bn": dbn}
     else:
@@ -201,14 +214,15 @@ def _apply_basic(b, x, spec, ctx: Ctx):
 
 def _apply_bottleneck(b, x, spec, ctx: Ctx):
     nb = dict(b)
-    out = conv2d(x, b["conv1"]["w"])
+    out = _conv1x1(x, b["conv1"]["w"], ctx)
     out, nb["bn1"] = ctx.bn(out, b["bn1"], activation="relu")
     out = _conv3x3(out, b["conv2"]["w"], ctx, stride=spec["stride"],
                    padding=spec["dil"], dilation=spec["dil"])
     out, nb["bn2"] = ctx.bn(out, b["bn2"], activation="relu")
-    out = conv2d(out, b["conv3"]["w"])
+    out = _conv1x1(out, b["conv3"]["w"], ctx)
     if "downsample" in b:
-        res = conv2d(x, b["downsample"]["conv"]["w"], stride=spec["stride"])
+        res = _conv1x1(x, b["downsample"]["conv"]["w"], ctx,
+                       stride=spec["stride"])
         res, dbn = ctx.bn(res, b["downsample"]["bn"])
         nb["downsample"] = {"conv": b["downsample"]["conv"], "bn": dbn}
     else:

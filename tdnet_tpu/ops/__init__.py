@@ -7,6 +7,7 @@ from tdnet_tpu.ops.norm import (batch_norm, init_batch_norm,
 from tdnet_tpu.ops.conv import (conv2d, init_conv_kaiming, init_conv_msra_out,
                                 init_conv_torch_default)
 from tdnet_tpu.ops.attention import scaled_dot_attention
+from tdnet_tpu.ops.quant import conv2d_int8, quantize_act, quantize_weight
 
 __all__ = [
     "resize_bilinear", "resize_nearest", "interp_matrix",
@@ -14,4 +15,5 @@ __all__ = [
     "batch_norm", "init_batch_norm", "layer_norm_2d", "init_layer_norm_2d",
     "conv2d", "init_conv_kaiming", "init_conv_msra_out", "init_conv_torch_default",
     "scaled_dot_attention",
+    "conv2d_int8", "quantize_act", "quantize_weight",
 ]

@@ -60,7 +60,7 @@ class Streamer:
     def __init__(self, params: dict, cfg, batch: int = 1,
                  dtype=jnp.float32, attn_impl: str = "xla",
                  stem_impl: str = "oct", fused_trunk: bool = True,
-                 donate_cache: bool = True):
+                 donate_cache: bool = True, quant: str | None = None):
         self.cfg = cfg
         self.dtype = dtype
         self._stream_step = model_stream_step(cfg)
@@ -84,7 +84,8 @@ class Streamer:
 
             def step(pp, ap, cache, img):
                 ctx = Ctx(train=False, attn_impl=attn_impl,
-                          stem_impl=stem_impl, fused_trunk=fused_trunk)
+                          stem_impl=stem_impl, fused_trunk=fused_trunk,
+                          quant=quant)
                 return self._stream_step(pp, ap, cache, img, cfg, pid, ctx)
 
             return jax.jit(step, donate_argnums=(2,) if donate_cache else ())
