@@ -63,7 +63,7 @@ def validate(cfg: dict, args):
     batcher = ClipBatcher(v_ds, cfg["validating"]["batch_size"],
                           shuffle=False, drop_last=False,
                           num_workers=cfg["validating"]["n_workers"])
-    eval_step = make_eval_step(mcfg)
+    eval_step = make_eval_step(mcfg, quant=getattr(args, "quant", None))
     running = RunningScore(v_ds.n_classes)
 
     for i, (frames, labels) in enumerate(batcher):
@@ -105,6 +105,8 @@ def main(argv=None):
     parser.add_argument("--native", action="store_true",
                         help="checkpoint is a native pytree pickle")
     parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--quant", type=str, default=None, choices=["int8"],
+                        help="validate the int8 PTQ backbone (ops/quant.py)")
     parser.set_defaults(measure_time=True)
     args = parser.parse_args(argv)
     validate(load_config(args.config), args)

@@ -206,16 +206,20 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: TDNetConfig, mesh=None, *, unroll: bool | None = None):
+def make_eval_step(cfg: TDNetConfig, mesh=None, *, unroll: bool | None = None,
+                   quant: str | None = None):
     """Validation forward (training twin, eval mode): logits for fP.
-    ``unroll`` follows the mesh like make_train_step unless forced."""
+    ``unroll`` follows the mesh like make_train_step unless forced.
+    ``quant='int8'`` evaluates the int8 PTQ backbone (ops/quant.py) so
+    its mIoU cost is measurable with the same CLI."""
     if unroll is None:
         unroll = _mesh_unroll(mesh)
     fwd = model_clip_forward(cfg)
 
     def eval_step(params, frames, pos_id):
         res = fwd(params, frames, pos_id, cfg,
-                  Ctx(train=False, stem_impl="oct"), unroll=unroll)
+                  Ctx(train=False, stem_impl="oct", quant=quant),
+                  unroll=unroll)
         return jnp.argmax(res["out"], axis=-1)
 
     return jax.jit(eval_step)

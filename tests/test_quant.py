@@ -109,6 +109,24 @@ def test_streamer_int8_step_runs():
     assert np.mean(agree) > 0.80, agree
 
 
+def test_eval_step_quant_runs():
+    """cli.validate --quant int8 path: the eval step compiles and its
+    predictions broadly agree with the float eval step."""
+    from tdnet_tpu.models.tdnet import TDNetConfig, init_tdnet
+    from tdnet_tpu.train.trainer import make_eval_step
+
+    cfg = TDNetConfig(nclass=19, backbone="resnet10", path_num=2,
+                      in_size=(65, 129), kv_stride=3, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(np.random.RandomState(0).randn(
+        1, 2, *cfg.in_size, 3).astype(np.float32))
+    pf = np.asarray(make_eval_step(cfg)(params, frames, jnp.int32(0)))
+    pq = np.asarray(make_eval_step(cfg, quant="int8")(
+        params, frames, jnp.int32(0)))
+    assert pq.shape == pf.shape
+    assert (pq == pf).mean() > 0.80
+
+
 def test_fanet_block_int8_close():
     from tdnet_tpu.nn.fanet import (FANetResNetConfig, apply_fanet_resnet,
                                     init_fanet_resnet)
