@@ -63,6 +63,7 @@ def make_group_stream_step(cfg: TDNetConfig, mesh: Mesh, *,
                            attn_impl: str = "xla",
                            stem_impl: str = "oct",
                            fused_trunk: bool = True,
+                           quant: str | None = None,
                            donate_cache: bool = True):
     """Build the jitted group step.
 
@@ -96,7 +97,7 @@ def make_group_stream_step(cfg: TDNetConfig, mesh: Mesh, *,
         atn_p = jax.tree.map(lambda x: x[0], atn_l)      # [W, ...]
         img = frames_l[0]
         ctx = Ctx(train=False, attn_impl=attn_impl, stem_impl=stem_impl,
-                  fused_trunk=fused_trunk)
+                  fused_trunk=fused_trunk, quant=quant)
         pid = pids_l[0]                                   # cfg.psp_pid(p)
 
         # heavy, frame-local work — concurrent on all P devices, same
