@@ -43,12 +43,20 @@ def _conv3x3(x, w, ctx: Ctx, *, stride: int, padding: int, dilation: int):
       isolation but the pallas_call boundary blocks XLA fusion around it
       and the full step regresses — opt-in only;
     - "mm": fully matmul-form conv (measured slower; kept for A/B);
+    - "mixed": "mm" for narrow convs (ci <= 128, where XLA's 8-phase
+      packed conv layout surrounds every fwd/dgrad with relayout
+      copies — the [193,8,49..51,64] copy family in the bf16 profile),
+      "mm_wgrad" for wide ones (where full-mm measured slower);
     - "xla": native convs."""
     if ctx.train and stride == 1:
         if ctx.conv_wgrad == "pallas":
             if dilation >= 4:
                 from tdnet_tpu.kernels.dilated_conv import conv2d_pallas_dil
                 return conv2d_pallas_dil(x, w, padding, dilation)
+            return conv2d_mm_wgrad(x, w, padding, dilation)
+        if ctx.conv_wgrad == "mixed":
+            if x.shape[-1] <= 128:
+                return conv2d_mm(x, w, padding, dilation)
             return conv2d_mm_wgrad(x, w, padding, dilation)
         if ctx.conv_wgrad == "mm":
             return conv2d_mm(x, w, padding, dilation)

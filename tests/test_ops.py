@@ -243,6 +243,36 @@ def test_conv2d_mm_wgrad_matches_autodiff():
                                    atol=1e-3, rtol=1e-4)
 
 
+def test_conv3x3_mixed_policy_routes_by_width():
+    """conv_wgrad='mixed': narrow (ci<=128) convs take the fully
+    matmul form, wide ones the XLA fwd/dgrad + tap wgrad — and both
+    match the native autodiff."""
+    from tdnet_tpu.nn.module import Ctx
+    from tdnet_tpu.nn.resnet import _conv3x3
+    from tdnet_tpu.ops.conv import conv2d
+
+    ctx = Ctx(train=True, conv_wgrad="mixed")
+    for ci, d in [(64, 1), (512, 4)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 17, 33, ci))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, ci)) * 0.05
+        dy = jax.random.normal(jax.random.PRNGKey(2), (1, 17, 33, ci))
+
+        def loss(fn):
+            return jax.grad(lambda x_, w_: jnp.sum(
+                fn(x_, w_) * dy), argnums=(0, 1))(x, w)
+
+        y0 = conv2d(x, w, padding=d, dilation=d)
+        y1 = _conv3x3(x, w, ctx, stride=1, padding=d, dilation=d)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=1e-4, rtol=1e-4)
+        g0 = loss(lambda a, b: conv2d(a, b, padding=d, dilation=d))
+        g1 = loss(lambda a, b: _conv3x3(a, b, ctx, stride=1,
+                                        padding=d, dilation=d))
+        for a, b, tol in [(g1[0], g0[0], 1e-4), (g1[1], g0[1], 1e-3)]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=tol, rtol=1e-4)
+
+
 def test_conv2d_mm_matches_autodiff():
     """conv2d_mm (fully matmul-form conv): forward, dx and dw all match
     XLA's native conv and its autodiff gradients (f32, tight tol)."""
