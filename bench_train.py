@@ -43,10 +43,12 @@ def main():
     # the per-dtype defaults: ``--conv_wgrad {mm,mm_wgrad,mixed,xla,pallas}``
     conv_wgrad = (sys.argv[sys.argv.index("--conv_wgrad") + 1]
                   if "--conv_wgrad" in sys.argv else None)
+    teacher_quant = "int8" if "--teacher_quant" in sys.argv else None
     state = make_train_state(jax.random.PRNGKey(0), cfg, max_iter=40000)
     teacher_params = init_teacher(jax.random.PRNGKey(1), tcfg)
     step = make_train_step(cfg, teacher_cfg=tcfg, max_iter=40000,
                            loss_fn=loss_fn, conv_wgrad=conv_wgrad,
+                           teacher_quant=teacher_quant,
                            compute_dtype=jnp.bfloat16 if bf16 else None)
 
     key = jax.random.PRNGKey(2)

@@ -64,7 +64,8 @@ def init_teacher(key, cfg: TeacherConfig, dtype=jnp.float32) -> dict:
 
 
 def apply_teacher(params: dict, x: jnp.ndarray, cfg: TeacherConfig,
-                  group_id: jnp.ndarray | None = None):
+                  group_id: jnp.ndarray | None = None,
+                  quant: str | None = None):
     """Returns (T_full, T_1, ..., T_P) logits at the c4 grid resolution,
     or — when ``group_id`` (a traced int, the student's pos_id) is given —
     ``(T_full, T_group_id)`` with ONLY that group's head applied. The KD
@@ -74,8 +75,11 @@ def apply_teacher(params: dict, x: jnp.ndarray, cfg: TeacherConfig,
 
     Always runs in eval mode (the reference calls teacher.eval() before
     every use and freezes all params: pspnet_4p.py:124-128).
+    ``quant='int8'`` runs the frozen backbone on the int8 MXU path
+    (ops/quant.py) — the KD targets absorb the bounded quant noise;
+    opt-in, default is the exact reference dataflow.
     """
-    ctx = Ctx(train=False)
+    ctx = Ctx(train=False, quant=quant)
     _, c4, _ = apply_resnet(params["backbone"], x, cfg.backbone_cfg, ctx)
     # shared-branch grouped PSP: pools/convs/BN/upsamples run once, not
     # once per group (nn/pyramid.py:apply_pyramid_pooling_groups)

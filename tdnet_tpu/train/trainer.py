@@ -95,7 +95,8 @@ def make_loss_of(cfg: TDNetConfig, *,
                  loss_fn=None, axis_name=None, use_dropout: bool = True,
                  compute_dtype=None, unroll: bool = True,
                  stem_impl: str = "oct", conv_wgrad: str | None = None,
-                 attn_impl: str | None = None):
+                 attn_impl: str | None = None,
+                 teacher_quant: str | None = None):
     """The assembled training loss (reference td4_psp.py:367-374):
     ``CE(out) + 0.5*CE(out_sub) [+ 0.1*CE(auxout)] + 1.0*KD`` where
     ``KD = KL(out||T_full) + 0.5*KL(out_sub||T_group_p)`` at the c4 grid.
@@ -156,7 +157,8 @@ def make_loss_of(cfg: TDNetConfig, *,
             tparams = (teacher_params if compute_dtype is None
                        else _cast_wb(teacher_params, compute_dtype))
             t_full, t_grp = apply_teacher(tparams, fframes[-1], teacher_cfg,
-                                          group_id=pos_id)
+                                          group_id=pos_id,
+                                          quant=teacher_quant)
             kd = (kl_divergence(res["out_lowres"], t_full)
                   + 0.5 * kl_divergence(res["out_sub_lowres"], t_grp))
             loss = loss + kd
@@ -175,7 +177,8 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
                     opt_kwargs: dict | None = None, axis_name=None,
                     donate: bool = True, compute_dtype=None,
                     conv_wgrad: str | None = None,
-                    attn_impl: str | None = None):
+                    attn_impl: str | None = None,
+                    teacher_quant: str | None = None):
     """Returns jitted ``step(state, frames, labels, pos_id[, teacher_params])``.
 
     frames: [P, N, H, W, 3] float32 (f1..fP, oldest..current);
@@ -187,7 +190,7 @@ def make_train_step(cfg: TDNetConfig, mesh=None, *,
     loss_of = make_loss_of(cfg, teacher_cfg=teacher_cfg, loss_fn=loss_fn,
                            axis_name=axis_name, compute_dtype=compute_dtype,
                            unroll=_mesh_unroll(mesh), conv_wgrad=conv_wgrad,
-                           attn_impl=attn_impl)
+                           attn_impl=attn_impl, teacher_quant=teacher_quant)
 
     def step(state, frames, labels, pos_id, teacher_params=None):
         tx, schedule = ada_optimizer(state["params"], **opt_kwargs)

@@ -127,6 +127,38 @@ def test_eval_step_quant_runs():
     assert (pq == pf).mean() > 0.80
 
 
+def test_teacher_int8_kd_targets_close():
+    """Frozen-teacher int8 mode: KD target logits stay close to the f32
+    teacher and the full train step runs with kd > 0."""
+    from tdnet_tpu.models.teacher import (TeacherConfig, apply_teacher,
+                                          init_teacher)
+
+    tcfg = TeacherConfig(nclass=19, backbone="resnet18", path_num=4)
+    tp = init_teacher(jax.random.PRNGKey(0), tcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 65, 129, 3))
+    f_full, f_grp = apply_teacher(tp, x, tcfg, group_id=jnp.int32(1))
+    q_full, q_grp = apply_teacher(tp, x, tcfg, group_id=jnp.int32(1),
+                                  quant="int8")
+    for a, b in [(f_full, q_full), (f_grp, q_grp)]:
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99, cos
+
+    from tdnet_tpu.models.tdnet import TDNetConfig
+    from tdnet_tpu.train.trainer import make_train_state, make_train_step
+
+    cfg = TDNetConfig(nclass=19, backbone="resnet10", path_num=4,
+                      in_size=(65, 129), kv_stride=3, aux=False)
+    state = make_train_state(jax.random.PRNGKey(2), cfg, max_iter=100)
+    step = make_train_step(cfg, teacher_cfg=tcfg, max_iter=100,
+                           teacher_quant="int8")
+    frames = jax.random.normal(jax.random.PRNGKey(3), (4, 1, 65, 129, 3))
+    labels = jnp.zeros((1, 65, 129), jnp.int32)
+    _, metrics = step(state, frames, labels, jnp.int32(0), tp)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["kd"]) > 0
+
+
 def test_fanet_block_int8_close():
     from tdnet_tpu.nn.fanet import (FANetResNetConfig, apply_fanet_resnet,
                                     init_fanet_resnet)
