@@ -57,10 +57,20 @@ def main(argv=None):
     parser.add_argument("--dataset", type=str, default="cityscapes",
                         choices=["cityscapes", "camvid", "nyud2", "nyudv2"],
                         help="sets the class count and output palette")
+    parser.add_argument("--parallel", type=str, default=None,
+                        choices=["group", "spatial"],
+                        help="multi-chip streaming: 'group' puts one "
+                             "sub-network per device and runs P frames per "
+                             "super-step (~P x throughput); 'spatial' shards "
+                             "each frame's H axis over all devices (lower "
+                             "single-frame latency). TDNet models only.")
     parser.add_argument("--nclass", type=int, default=None,
                         help="override the class count (checkpoints trained "
                              "on non-standard label sets)")
     args = parser.parse_args(argv)
+    if args.parallel and args.model in ("psp101", "td2-fa"):
+        parser.error(f"--parallel targets the TDNet PSP students; "
+                     f"{args.model} is not supported")
 
     from tdnet_tpu.data.streaming import (DATASET_META, FrameSource,
                                           decode_segmap)
@@ -122,7 +132,10 @@ def main(argv=None):
             out.block_until_ready()
             dt = time.perf_counter() - t0
             meter.add(dt)
-            return out, dt
+            return [(out, dt)]
+
+        def flush_frames():
+            return []
     else:
         streaming_kw = {} if args.model == "td2-fa" else dict(streaming=True)
         cfg = tdnet_config(args.model, nclass=nclass, in_size=in_size,
@@ -136,16 +149,41 @@ def main(argv=None):
             params = from_torch(sd, cfg)
         else:
             print(f"No pretrained found at '{ckpt_path}'")
-        streamer = Streamer(params, cfg, dtype=dtype,
-                            attn_impl=args.attn_impl, quant=args.quant)
+        if args.parallel == "group":
+            from tdnet_tpu.stream.parallel_runtime import GroupStreamer
+            streamer = GroupStreamer(params, cfg, dtype=dtype,
+                                     attn_impl=args.attn_impl,
+                                     quant=args.quant)
+            print(f"group streaming over {cfg.path_num} devices "
+                  f"(mesh {dict(streamer.mesh.shape)})")
+        elif args.parallel == "spatial":
+            from tdnet_tpu.stream.parallel_runtime import SpatialStreamer
+            streamer = SpatialStreamer(params, cfg, dtype=dtype,
+                                       attn_impl=args.attn_impl,
+                                       quant=args.quant)
+            print(f"spatially-partitioned streaming "
+                  f"(mesh {dict(streamer.mesh.shape)})")
+        else:
+            streamer = Streamer(params, cfg, dtype=dtype,
+                                attn_impl=args.attn_impl, quant=args.quant)
         if args.warm_compile:
             example = jnp.zeros((1, *in_size, 3), dtype)
             streamer.warm_compile(example)
             streamer.reset()
         meter = streamer.meter
 
-        def run_frame(i, x):
-            return streamer.step(jnp.asarray(x))
+        if args.parallel == "group":
+            def run_frame(i, x):
+                return streamer.submit(jnp.asarray(x))
+
+            def flush_frames():
+                return streamer.flush()
+        else:
+            def run_frame(i, x):
+                return [streamer.step(jnp.asarray(x))]
+
+            def flush_frames():
+                return []
 
     os.makedirs(args.output_path, exist_ok=True)
     import imageio.v2 as imageio
@@ -153,31 +191,42 @@ def main(argv=None):
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())
 
+    meta_queue = []   # (img_name, folder) awaiting output (group buffering)
+    emitted = [0]
+
+    def emit(out, dt):
+        img_name, folder = meta_queue.pop(0)
+        emitted[0] += 1
+        pred = np.asarray(jnp.argmax(out[0], axis=-1)).astype(np.uint8)
+        if not args.no_save:
+            import cv2
+            small = cv2.resize(pred, (in_size[1] // 4, in_size[0] // 4),
+                               interpolation=cv2.INTER_NEAREST)
+            decoded = decode_segmap(small, palette)
+            save_dir = os.path.join(args.output_path, folder)
+            os.makedirs(save_dir, exist_ok=True)
+            imageio.imwrite(os.path.join(save_dir, img_name), decoded)
+        if args.display:
+            # cv2's Qt backend hard-aborts without an X display, so
+            # gate on $DISPLAY rather than try/except
+            if not os.environ.get("DISPLAY"):
+                print("(no $DISPLAY — live view disabled)")
+                args.display = False
+            else:
+                import cv2
+                cv2.namedWindow("Image")
+                cv2.imshow("Image", decode_segmap(pred, palette))
+                cv2.waitKey(1)
+        print(" Frame {0:2d}   RunningTime/Latency={1:3.5f} s"
+              .format(emitted[0], dt))
+
     with prof:
         for i, (x, img_name, folder, ori_size) in enumerate(vid_seq):
-            out, dt = run_frame(i, jnp.asarray(x))
-            pred = np.asarray(jnp.argmax(out[0], axis=-1)).astype(np.uint8)
-            if not args.no_save:
-                import cv2
-                small = cv2.resize(pred, (in_size[1] // 4, in_size[0] // 4),
-                                   interpolation=cv2.INTER_NEAREST)
-                decoded = decode_segmap(small, palette)
-                save_dir = os.path.join(args.output_path, folder)
-                os.makedirs(save_dir, exist_ok=True)
-                imageio.imwrite(os.path.join(save_dir, img_name), decoded)
-            if args.display:
-                # cv2's Qt backend hard-aborts without an X display, so
-                # gate on $DISPLAY rather than try/except
-                if not os.environ.get("DISPLAY"):
-                    print("(no $DISPLAY — live view disabled)")
-                    args.display = False
-                else:
-                    import cv2
-                    cv2.namedWindow("Image")
-                    cv2.imshow("Image", decode_segmap(pred, palette))
-                    cv2.waitKey(1)
-            print(" Frame {0:2d}   RunningTime/Latency={1:3.5f} s"
-                  .format(i + 1, dt))
+            meta_queue.append((img_name, folder))
+            for out, dt in run_frame(i, jnp.asarray(x)):
+                emit(out, dt)
+        for out, dt in flush_frames():
+            emit(out, dt)
 
     print("---------------------")
     print(" Model: {0:s}".format(args.model))

@@ -22,6 +22,9 @@ from tdnet_tpu.nn.module import Ctx
 
 def make_spatial_stream_step(cfg, mesh: Mesh, pid: int, *,
                              stream_step_fn=None, attn_impl: str = "xla",
+                             stem_impl: str = "xla",
+                             fused_trunk: bool = False,
+                             quant: str | None = None,
                              donate_cache: bool = True):
     """jit a per-frame streaming step with the image H axis sharded over
     the mesh's ``spatial`` axis. Returns step(path_params, atn_p, cache,
@@ -43,7 +46,8 @@ def make_spatial_stream_step(cfg, mesh: Mesh, pid: int, *,
     img_sh = NamedSharding(mesh, P(None, "spatial", None, None))
 
     def step(path_params, atn_p, cache, img):
-        ctx = Ctx(train=False, attn_impl=attn_impl)
+        ctx = Ctx(train=False, attn_impl=attn_impl, stem_impl=stem_impl,
+                  fused_trunk=fused_trunk, quant=quant)
         out, new_cache = stream_step_fn(path_params, atn_p, cache, img,
                                         cfg, pid, ctx)
         return out, new_cache
