@@ -38,9 +38,11 @@ def bench(model, in_size, quant):
 
 
 def main():
-    for model, in_size in [("td2-psp50", (1025, 2049)),
-                           ("td4-psp18", (769, 1537))]:
+    for model, in_size in [("td4-psp18", (769, 1537)),
+                           ("td2-psp50", (1025, 2049))]:
         fps_f = bench(model, in_size, None)
+        print(json.dumps({"model": model, "quant": None,
+                          "fps": round(fps_f, 2)}), flush=True)
         fps_q = bench(model, in_size, "int8")
         print(json.dumps({"model": model, "in_size": in_size,
                           "fps_float": round(fps_f, 2),

@@ -222,13 +222,18 @@ def stream_step(path_params: dict, atn_p, cache: dict, img: jnp.ndarray,
         _, z, _ = _subnet_trunk(path_params, img, cfg, ctx, pid)
         q_cur, v_cur, _ = apply_encoding_full(path_params["enc"], z, ctx)
 
-    ks = [cache["k"][h] for h in range(cfg.window)]
-    vs = [cache["v"][h] for h in range(cfg.window)]
-    qs = [cache["q"][h] for h in range(cfg.window)]
-    v_prop = _hop_chain(atn_p, ks, vs, qs, q_cur, cfg, ctx)
+    if ctx.ablate_prop:
+        # mechanism-proof ablation: the cold-cache output path (the same
+        # dataflow every frame < window gets) for EVERY frame
+        feat = v_cur
+    else:
+        ks = [cache["k"][h] for h in range(cfg.window)]
+        vs = [cache["v"][h] for h in range(cfg.window)]
+        qs = [cache["q"][h] for h in range(cfg.window)]
+        v_prop = _hop_chain(atn_p, ks, vs, qs, q_cur, cfg, ctx)
 
-    warm = cache["count"] >= cfg.window
-    feat = v_cur + jnp.where(warm, v_prop, jnp.zeros_like(v_prop))
+        warm = cache["count"] >= cfg.window
+        feat = v_cur + jnp.where(warm, v_prop, jnp.zeros_like(v_prop))
     feat = layer_norm_2d(feat, path_params["ln"])
     out, _ = apply_fcn_head(path_params["head"], feat, ctx)
     out = resize_bilinear(out, cfg.in_size)

@@ -39,6 +39,10 @@ class Ctx:
     # dynamic per-tensor activations, per-channel weights — ops/quant.py)
     quant: str | None = None
     use_dropout: bool = True  # False: train-mode BN but no dropout (oracle tests)
+    # Ablation switch (mechanism proof, scripts/mechanism_proof.py): skip
+    # the propagation chain in stream_step so the output is exactly the
+    # cold-cache head(LN(v_cur)) path for EVERY frame.
+    ablate_prop: bool = False
     _n_rng: int = 0
 
     def next_rng(self):

@@ -49,6 +49,11 @@ def quantize_act(x: jnp.ndarray):
     """
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
     scale = jnp.maximum(absmax, _EPS) / _QMAX
+    # keep the reduce out of the quantize fusion: XLA otherwise builds one
+    # (f32[], f32[N,H,W,C]) kOutput fusion whose stack allocation blows the
+    # 16M scoped-vmem limit at deployment shapes (v5e, [1,97,193,256]:
+    # "Ran out of memory in memory space vmem ... 18.92M and limit 16.00M")
+    scale = lax.optimization_barrier(scale)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
     return q.astype(jnp.int8), scale
 

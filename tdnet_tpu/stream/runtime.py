@@ -60,7 +60,8 @@ class Streamer:
     def __init__(self, params: dict, cfg, batch: int = 1,
                  dtype=jnp.float32, attn_impl: str = "xla",
                  stem_impl: str = "oct", fused_trunk: bool = True,
-                 donate_cache: bool = True, quant: str | None = None):
+                 donate_cache: bool = True, quant: str | None = None,
+                 ablate_prop: bool = False):
         self.cfg = cfg
         self.dtype = dtype
         self._stream_step = model_stream_step(cfg)
@@ -85,7 +86,7 @@ class Streamer:
             def step(pp, ap, cache, img):
                 ctx = Ctx(train=False, attn_impl=attn_impl,
                           stem_impl=stem_impl, fused_trunk=fused_trunk,
-                          quant=quant)
+                          quant=quant, ablate_prop=ablate_prop)
                 return self._stream_step(pp, ap, cache, img, cfg, pid, ctx)
 
             return jax.jit(step, donate_argnums=(2,) if donate_cache else ())

@@ -1,0 +1,99 @@
+"""Mechanism-proof wiring: the ablation switch and the labeled task.
+
+scripts/mechanism_proof.py measures warm-cache streaming against a
+propagation-ablated baseline (VERDICT r3, missing #1). These tests pin
+the two pieces it depends on:
+
+- ``Ctx.ablate_prop`` streaming output == the cold-cache output path
+  (a fresh cache's first frame) for every frame / every path, so the
+  "ablated" arm of the proof is exactly the head(LN(v_cur)) dataflow
+  the reference produces before its buffer warms
+  (td4_psp18.py:142 analog, models/tdnet.py stream_step).
+- the labeled synthetic renderer: labels match the painted scene, the
+  occluders perturb images but never labels, and the scene genuinely
+  moves (so propagation has something to align).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdnet_tpu.data.synthetic import (N_CLASSES, labeled_clip,
+                                      render_labeled)
+from tdnet_tpu.models.tdnet import (TDNetConfig, init_cache, init_tdnet,
+                                    select_path, stream_step)
+from tdnet_tpu.nn.module import Ctx
+
+
+def test_ablate_prop_equals_cold_cache():
+    cfg = TDNetConfig(nclass=7, backbone="resnet10", path_num=4,
+                      in_size=(65, 129), kv_stride=3, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(0), cfg)
+    frames = jax.random.normal(jax.random.PRNGKey(1),
+                               (6, 1, *cfg.in_size, 3), jnp.float32)
+
+    cache = init_cache(cfg)
+    for t in range(frames.shape[0]):
+        p = t % cfg.path_num
+        pp = select_path(params["paths"], p)
+        ap = select_path(params["atn"], p)
+        abl, cache = stream_step(pp, ap, cache, frames[t], cfg,
+                                 cfg.psp_pid(p), Ctx(ablate_prop=True))
+        cold, _ = stream_step(pp, ap, init_cache(cfg), frames[t], cfg,
+                              cfg.psp_pid(p), Ctx())
+        np.testing.assert_allclose(np.asarray(abl), np.asarray(cold),
+                                   atol=1e-5)
+    # the ablated stream still maintains its cache (count advanced)
+    assert int(cache["count"]) == frames.shape[0]
+
+
+def test_ablate_prop_diverges_when_warm():
+    cfg = TDNetConfig(nclass=7, backbone="resnet10", path_num=2,
+                      in_size=(49, 97), kv_stride=3, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(0), cfg)
+    frames = jax.random.normal(jax.random.PRNGKey(2),
+                               (3, 1, *cfg.in_size, 3), jnp.float32)
+    c_w, c_a = init_cache(cfg), init_cache(cfg)
+    for t in range(frames.shape[0]):
+        p = t % cfg.path_num
+        pp = select_path(params["paths"], p)
+        ap = select_path(params["atn"], p)
+        warm, c_w = stream_step(pp, ap, c_w, frames[t], cfg,
+                                cfg.psp_pid(p), Ctx())
+        abl, c_a = stream_step(pp, ap, c_a, frames[t], cfg,
+                               cfg.psp_pid(p), Ctx(ablate_prop=True))
+    # last frame is past the window: propagation must actually contribute
+    assert float(jnp.abs(warm - abl).max()) > 1e-4
+
+
+def test_labeled_renderer():
+    img, lbl = render_labeled(5, (128, 256), seed=3)
+    assert img.shape == (128, 256, 3) and img.dtype == np.uint8
+    assert lbl.shape == (128, 256) and lbl.min() >= 0
+    assert lbl.max() < N_CLASSES
+    # the core scene classes all present (sky/building/road/sidewalk)
+    assert {0, 1, 2, 3} <= set(np.unique(lbl).tolist())
+    # deterministic
+    img2, lbl2 = render_labeled(5, (128, 256), seed=3)
+    assert np.array_equal(img, img2) and np.array_equal(lbl, lbl2)
+
+
+def test_occluders_hide_pixels_not_labels():
+    base_i, base_l = render_labeled(4, (128, 256), seed=2)
+    occ_i, occ_l = render_labeled(4, (128, 256), seed=2, occluders=3)
+    assert np.array_equal(base_l, occ_l)          # labels keep the scene
+    changed = (base_i != occ_i).any(axis=-1)
+    assert changed.mean() > 0.02                  # a real occluded area
+    # occluders MOVE frame to frame (that's what makes the task temporal)
+    occ_i2, _ = render_labeled(5, (128, 256), seed=2, occluders=3)
+    base_i2, _ = render_labeled(5, (128, 256), seed=2)
+    changed2 = (base_i2 != occ_i2).any(axis=-1)
+    assert (changed != changed2).mean() > 0.01
+
+
+def test_scene_moves_and_seeds_differ():
+    imgs, lbls = labeled_clip(0, 4, (96, 192), seed=1)
+    assert imgs.shape == (4, 96, 192, 3) and lbls.shape == (4, 96, 192)
+    assert not np.array_equal(lbls[0], lbls[3])   # labels move too
+    other_i, _ = render_labeled(0, (96, 192), seed=9)
+    assert not np.array_equal(imgs[0], other_i)   # seed varies the world
