@@ -234,4 +234,9 @@ def fused_propagation_attention_train(q: jnp.ndarray, k: jnp.ndarray,
                           dropout_rate=dropout_rate)
     if n == 1:
         return f(q[0], k[0], v[0], seed[0])[None]
-    return jax.vmap(f)(q, k, v, seed)
+    # unrolled static batch, NOT jax.vmap: batching an SMEM-resident
+    # operand (the seed) is unsupported by the Pallas TPU lowering
+    # ("block shape ... divisible by 8 and 128 ... in memory space smem").
+    # n is a small static batch; the per-call overhead is noise next to
+    # the [Lq, Lkv] work inside.
+    return jnp.stack([f(q[i], k[i], v[i], seed[i]) for i in range(n)])

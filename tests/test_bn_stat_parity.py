@@ -56,7 +56,9 @@ def _zero_dropout(module):
 
 
 @pytest.mark.parametrize("arch,path_num,backbone,pool_before", [
-    ("td4_psp", 4, "resnet18", True),
+    # td4 is the heavier twin (4 paths): slow lane; td2 pins the same
+    # running-stat dataflow (shared _hop_chain / cached-q code) fast
+    pytest.param("td4_psp", 4, "resnet18", True, marks=pytest.mark.slow),
     ("td2_psp", 2, "resnet50", False),
 ])
 def test_bn_running_stats_track_reference(arch, path_num, backbone,

@@ -105,6 +105,7 @@ def test_train_cli_end_to_end(synth_root, tmp_path, monkeypatch):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+@pytest.mark.slow
 def test_train_cli_nan_guard(synth_root, tmp_path, monkeypatch):
     """A non-finite loss halts the run with a FloatingPointError and a
     state dump (failure detection, SURVEY.md 5.3) instead of silently

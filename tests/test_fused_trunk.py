@@ -32,6 +32,7 @@ def test_fused_trunk_matches_standard_streaming():
                                    err_msg=f"frame {i}")
 
 
+@pytest.mark.slow
 def test_fused_trunk_td2_geometry():
     cfg = TDNetConfig(nclass=19, backbone="resnet50", path_num=2,
                       in_size=(97, 193), kv_stride=4, aux=False)

@@ -33,10 +33,11 @@ def _serial(params, cfg, frames, **ctx_kw):
 
 
 @pytest.mark.parametrize("path_num,in_size,fused", [
-    (4, (65, 129), False),
-    (2, (49, 97), False),
+    pytest.param(4, (65, 129), False, marks=pytest.mark.slow),
+    pytest.param(2, (49, 97), False, marks=pytest.mark.slow),
     # the deployed serial fast path (fused grouped-PSP trunk + oct stem)
-    # must ALSO match its group-step twin (VERDICT r2 weak 4)
+    # must ALSO match its group-step twin (VERDICT r2 weak 4); the
+    # unfused reference-dataflow variants run in the slow lane
     (4, (65, 129), True),
 ])
 def test_group_stream_matches_serial(path_num, in_size, fused):

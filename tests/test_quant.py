@@ -86,6 +86,7 @@ def test_resnet_int8_close_and_train_untouched():
     np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
 
 
+@pytest.mark.slow
 def test_streamer_int8_step_runs():
     from tdnet_tpu.models.tdnet import TDNetConfig, init_tdnet
     from tdnet_tpu.stream.runtime import Streamer
@@ -109,6 +110,7 @@ def test_streamer_int8_step_runs():
     assert np.mean(agree) > 0.80, agree
 
 
+@pytest.mark.slow
 def test_eval_step_quant_runs():
     """cli.validate --quant int8 path: the eval step compiles and its
     predictions broadly agree with the float eval step."""
@@ -127,6 +129,7 @@ def test_eval_step_quant_runs():
     assert (pq == pf).mean() > 0.80
 
 
+@pytest.mark.slow
 def test_teacher_int8_kd_targets_close():
     """Frozen-teacher int8 mode: KD target logits stay close to the f32
     teacher and the full train step runs with kd > 0."""
