@@ -36,8 +36,16 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 HW = (193, 385)
-N_CLASSES = 6
+# scene classes + the 8 billboard texture classes: a billboard's class is
+# random per instance, so under an occluder it is unpredictable from the
+# current frame's context (uniform prior over 8) but readable in the
+# neighboring frames the propagation path attends to. The round-4 first
+# cut (6 scene classes, no billboards) TIED warm vs ablated at 0.671:
+# the scene geometry was spatially inpaintable, so the single-frame path
+# lost nothing (MECHANISM.json history / VERDICT r3 missing #1).
+N_CLASSES = 6 + 8
 OCCLUDERS = 3
+BILLBOARDS = 6
 TRAIN_SEEDS = list(range(1, 9))      # seed 0 = the demo clip; keep held out
 EVAL_SEEDS = [100, 101, 102]
 EVAL_FRAMES = 36
@@ -57,7 +65,7 @@ def make_batch(rng: np.random.RandomState, batch: int, path_num: int):
         seed = TRAIN_SEEDS[rng.randint(len(TRAIN_SEEDS))]
         t0 = rng.randint(CLIP_T_MAX)
         imgs, lbls = labeled_clip(t0, path_num, HW, seed=seed,
-                                  occluders=OCCLUDERS)
+                                  occluders=OCCLUDERS, billboards=BILLBOARDS)
         fs.append(_norm_clip(imgs))
         ls.append(lbls[-1])
     frames = np.stack(fs, axis=1).astype(np.float32)   # [P, N, H, W, 3]
@@ -106,20 +114,26 @@ def eval_stream(params, ablate: bool, quant: str | None = None):
     streamer = Streamer(params, cfg, attn_impl=attn, ablate_prop=ablate,
                         quant=quant)
     score = RunningScore(N_CLASSES)
+    occ_score = RunningScore(N_CLASSES)   # occluded pixels only
     for seed in EVAL_SEEDS:
-        imgs, lbls = labeled_clip(0, EVAL_FRAMES, HW, seed=seed,
-                                  occluders=OCCLUDERS)
+        imgs, lbls, occ = labeled_clip(0, EVAL_FRAMES, HW, seed=seed,
+                                       occluders=OCCLUDERS,
+                                       billboards=BILLBOARDS, return_occ=True)
         imgs = _norm_clip(imgs)
         streamer.reset()
         for t in range(EVAL_FRAMES):
             out, _ = streamer.step(jnp.asarray(imgs[t][None]), timed=False)
             if t >= cfg.window:      # same frames scored in both modes
-                score.update(jnp.asarray(lbls[t][None]),
-                             jnp.argmax(out, axis=-1))
-    scores, cls_iu = score.get_scores()
-    return {"miou": float(scores["Mean IoU : \t"]),
-            "acc": float(scores["Overall Acc: \t"]),
-            "class_iou": {k: float(v) for k, v in cls_iu.items()}}
+                pred = jnp.argmax(out, axis=-1)
+                score.update(jnp.asarray(lbls[t][None]), pred)
+                occ_lbl = np.where(occ[t], lbls[t], -1)  # <0 -> dropped
+                occ_score.update(jnp.asarray(occ_lbl[None]), pred)
+    def _pack(sc):
+        scores, cls_iu = sc.get_scores()
+        return {"miou": float(scores["Mean IoU : \t"]),
+                "acc": float(scores["Overall Acc: \t"]),
+                "class_iou": {k: float(v) for k, v in cls_iu.items()}}
+    return {**_pack(score), "occluded_only": _pack(occ_score)}
 
 
 def main():
@@ -145,13 +159,19 @@ def main():
                   f, indent=1)
     result = {
         "task": ("synthetic moving street scenes, per-frame occluders "
-                 f"(x{OCCLUDERS}), labels = underlying scene"),
+                 f"(x{OCCLUDERS}) + {BILLBOARDS} random-texture billboards "
+                 "(content unpredictable from spatial context), labels = "
+                 "underlying scene"),
         "model": "td4-psp18", "in_size": HW, "nclass": N_CLASSES,
+        "billboards": BILLBOARDS, "occluders": OCCLUDERS,
         "train_steps": args.steps, "train_seeds": TRAIN_SEEDS,
         "eval_seeds": EVAL_SEEDS, "eval_frames_per_video": EVAL_FRAMES,
         "warm": warm, "ablated": ablated,
         "miou_delta_warm_minus_ablated": round(
             warm["miou"] - ablated["miou"], 4),
+        "occluded_miou_delta_warm_minus_ablated": round(
+            warm["occluded_only"]["miou"] - ablated["occluded_only"]["miou"],
+            4),
         "mechanism_net_positive": warm["miou"] > ablated["miou"],
     }
     with open(args.out, "w") as f:

@@ -28,9 +28,16 @@ import numpy as np
 # class ids for render_labeled
 CLASSES = ("sky", "building", "road", "sidewalk", "lane", "car")
 N_CLASSES = len(CLASSES)
+# opt-in billboard classes 6..13: 4 grating orientations x 2 frequencies.
+# A billboard's texture class is random per (seed, instance) — under an
+# occluder it is UNPREDICTABLE from the current frame (uniform prior over
+# 8) yet trivially readable in the neighboring frames where the occluder
+# sits elsewhere, which is exactly the information the propagation path
+# can carry and the single-frame (ablated) path cannot.
+N_BILLBOARD_TEXTURES = 8
 
 
-def _render(t: int, hw: tuple[int, int], seed: int):
+def _render(t: int, hw: tuple[int, int], seed: int, billboards: int = 0):
     """Frame t of the synthetic drive: (uint8 RGB [H,W,3], int32 [H,W]).
 
     ``seed`` varies the static world geometry (building skyline), the
@@ -79,6 +86,36 @@ def _render(t: int, hw: tuple[int, int], seed: int):
     img[lane] = [230, 225, 210]
     lbl[lane] = 4
 
+    # billboards: world-anchored textured rectangles mounted over the
+    # skyline band, panning with the camera like the buildings. Grating
+    # phase is computed in WORLD coordinates so the pattern rides the
+    # billboard instead of shimmering in place.
+    if billboards:
+        brng = np.random.RandomState(seed * 52361 + 11)
+        xw = xx + pan
+        for _ in range(billboards):
+            bw = 0.09 + 0.09 * brng.rand()
+            bh = 0.11 + 0.10 * brng.rand()
+            bx = 1.2 * brng.rand()
+            by = 0.03 + (horizon - bh - 0.05) * brng.rand()
+            tex = brng.randint(N_BILLBOARD_TEXTURES)
+            x0 = (bx - pan) % 1.2 - 0.1
+            mask = (xx >= x0) & (xx < x0 + bw) & (yy >= by) & (yy < by + bh)
+            theta = (tex % 4) * (np.pi / 4.0)
+            freq = 12.0 if tex < 4 else 30.0
+            phase = np.cos(2 * np.pi * freq
+                           * (xw * np.cos(theta) + yy * 2.0 * np.sin(theta)))
+            shade = np.clip(150 + 75 * phase, 0, 255).astype(np.uint8)
+            for c in range(3):
+                img[..., c] = np.where(mask, shade, img[..., c])
+            lbl[mask] = N_CLASSES + tex
+            # bright frame so a PARTIALLY occluded billboard is still
+            # localizable from the current frame
+            inner = ((xx >= x0 + 0.008) & (xx < x0 + bw - 0.008)
+                     & (yy >= by + 0.014) & (yy < by + bh - 0.014))
+            border = mask & ~inner
+            img[border] = [240, 210, 60]
+
     # a vehicle approaching: grows and drifts with t
     if seed == 0:
         car_dx, car_speed, car_col = 0.0, 0.012, (30, 40, 120)
@@ -109,38 +146,52 @@ def render_frame(t: int, hw: tuple[int, int] = (256, 512)) -> np.ndarray:
 
 
 def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
-                   seed: int = 0, occluders: int = 0):
-    """(image, label) frame of the synthetic segmentation task.
+                   seed: int = 0, occluders: int = 0, billboards: int = 0,
+                   return_occ: bool = False):
+    """(image, label[, occ_mask]) frame of the synthetic segmentation task.
 
-    ``occluders`` > 0 stamps that many textured rectangles over the
-    image at per-(seed, t) random positions. Labels keep the UNDERLYING
-    scene class — an occluded pixel is unobservable in this frame but
-    (the occluders move every frame) visible in its neighbors, which is
-    what makes the task genuinely temporal: the propagation path can
-    recover what the single-frame path cannot see.
+    ``occluders`` > 0 stamps that many magenta-tinted textured rectangles
+    over the image at per-(seed, t) random positions. Labels keep the
+    UNDERLYING scene class — an occluded pixel is unobservable in this
+    frame but (the occluders move every frame) visible in its neighbors,
+    which is what makes the task genuinely temporal: the propagation path
+    can recover what the single-frame path cannot see. ``billboards``
+    adds the texture-class rectangles whose occluded content is
+    unpredictable from spatial context (see N_BILLBOARD_TEXTURES).
     """
-    img, lbl = _render(t, hw, seed)
+    img, lbl = _render(t, hw, seed, billboards=billboards)
+    h, w = hw
+    occ = np.zeros((h, w), bool)
     if occluders:
-        h, w = hw
         orng = np.random.RandomState(seed * 104729 + 13 * t + 7)
         for _ in range(occluders):
-            oh = orng.randint(h // 8, h // 3)
-            ow = orng.randint(w // 8, w // 3)
+            oh = orng.randint(h // 5, h // 2)
+            ow = orng.randint(w // 8, w // 4)
             y0 = orng.randint(0, h - oh)
             x0 = orng.randint(0, w - ow)
-            tex = orng.randint(70, 110, (oh, ow, 1)).astype(np.uint8)
-            img[y0:y0 + oh, x0:x0 + ow] = np.repeat(tex, 3, axis=2)
+            g = orng.randint(70, 110, (oh, ow, 1)).astype(np.int16)
+            tex = np.concatenate([g + 25, g - 25, g + 25], axis=2)
+            img[y0:y0 + oh, x0:x0 + ow] = np.clip(tex, 0, 255).astype(np.uint8)
+            occ[y0:y0 + oh, x0:x0 + ow] = True
+    if return_occ:
+        return img, lbl, occ
     return img, lbl
 
 
 def labeled_clip(t0: int, n_frames: int, hw, *, seed: int = 0,
-                 occluders: int = 0):
-    """n consecutive labeled frames: (imgs [T,H,W,3] u8, lbls [T,H,W] i32)."""
-    imgs, lbls = [], []
+                 occluders: int = 0, billboards: int = 0,
+                 return_occ: bool = False):
+    """n consecutive labeled frames: (imgs [T,H,W,3] u8, lbls [T,H,W] i32
+    [, occ [T,H,W] bool])."""
+    imgs, lbls, occs = [], [], []
     for t in range(t0, t0 + n_frames):
-        im, lb = render_labeled(t, hw, seed=seed, occluders=occluders)
-        imgs.append(im)
-        lbls.append(lb)
+        r = render_labeled(t, hw, seed=seed, occluders=occluders,
+                           billboards=billboards, return_occ=True)
+        imgs.append(r[0])
+        lbls.append(r[1])
+        occs.append(r[2])
+    if return_occ:
+        return np.stack(imgs), np.stack(lbls), np.stack(occs)
     return np.stack(imgs), np.stack(lbls)
 
 

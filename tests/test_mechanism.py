@@ -97,3 +97,27 @@ def test_scene_moves_and_seeds_differ():
     assert not np.array_equal(lbls[0], lbls[3])   # labels move too
     other_i, _ = render_labeled(0, (96, 192), seed=9)
     assert not np.array_equal(imgs[0], other_i)   # seed varies the world
+
+
+def test_billboards_are_temporal_information():
+    from tdnet_tpu.data.synthetic import N_BILLBOARD_TEXTURES
+    # billboard texture classes appear above the scene classes
+    img, lbl = render_labeled(3, (128, 256), seed=7, billboards=6)
+    texs = {int(c) for c in np.unique(lbl) if c >= N_CLASSES}
+    assert texs and all(N_CLASSES <= c < N_CLASSES + N_BILLBOARD_TEXTURES
+                        for c in texs)
+    # world-anchored: the same billboard pixel content pans with the
+    # camera rather than being regenerated per frame (labels move)
+    _, lbl2 = render_labeled(9, (128, 256), seed=7, billboards=6)
+    assert not np.array_equal(lbl, lbl2)
+    # opt-out: default renders have no billboard classes (back-compat)
+    _, lbl0 = render_labeled(3, (128, 256), seed=7)
+    assert lbl0.max() < N_CLASSES
+    # occlusion mask returned on request covers exactly the stamped area
+    bi, bl, occ = render_labeled(3, (128, 256), seed=7, billboards=6,
+                                 occluders=3, return_occ=True)
+    assert occ.dtype == bool and occ.mean() > 0.02
+    assert np.array_equal(bl, lbl)             # occluders never touch labels
+    ci, _ = render_labeled(3, (128, 256), seed=7, billboards=6)
+    assert not (bi[occ] == ci[occ]).all()      # image hidden where occ
+    assert (bi[~occ] == ci[~occ]).all()        # untouched elsewhere
