@@ -21,6 +21,7 @@ starved exactly where temporal propagation can help.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -38,7 +39,20 @@ N_BILLBOARD_TEXTURES = 8
 
 
 def _render(t: int, hw: tuple[int, int], seed: int, billboards: int = 0):
-    """Frame t of the synthetic drive: (uint8 RGB [H,W,3], int32 [H,W]).
+    """Cached clean frame t: copies of (uint8 RGB [H,W,3], int32 [H,W]).
+
+    Rendering is the host-side cost of the mechanism-proof training loop
+    (one CPU core — CLAUDE.md): the clean scene for a (t, seed) pair is
+    rendered once and memoized; per-draw sensor noise is applied outside
+    in ``render_labeled``.
+    """
+    img, lbl = _render_impl(t, hw, seed, billboards)
+    return img.copy(), lbl.copy()
+
+
+@functools.lru_cache(maxsize=1024)
+def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int):
+    """Frame t of the synthetic drive (noise-free; do not mutate).
 
     ``seed`` varies the static world geometry (building skyline), the
     camera pan speed and the vehicle trajectory; seed=0 is the original
@@ -133,20 +147,38 @@ def _render(t: int, hw: tuple[int, int], seed: int, billboards: int = 0):
         (np.abs(xx - cx - 0.6 * s) < 0.18 * s))
     img[wheels] = [15, 15, 15]                  # wheels stay class "car"
 
-    # mild deterministic sensor noise so frames are not piecewise-flat
-    noise = np.random.RandomState(seed * 7919 + 100 + t).randint(
-        -6, 7, (h, w, 1))
-    img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
     return img, lbl
+
+
+def _apply_noise(img: np.ndarray, t: int, seed: int,
+                 noise_sigma: float | None, noise_seed: int) -> np.ndarray:
+    """Per-frame sensor noise, applied to the cached clean render.
+
+    ``noise_sigma=None`` is the legacy mild luminance jitter (uniform
+    ±6, one channel — keeps the demo clip byte-identical). A float sigma
+    switches to i.i.d. per-pixel per-CHANNEL Gaussian noise: the
+    mechanism-proof training signal. ``noise_seed`` decorrelates draws of
+    the same (seed, t) frame — training samples fresh noise instances
+    every batch while eval (noise_seed=0) stays deterministic.
+    """
+    h, w = img.shape[:2]
+    nrng = np.random.RandomState(
+        (seed * 7919 + 100 + t + noise_seed * 1000003) % (1 << 31))
+    if noise_sigma is None:
+        noise = nrng.randint(-6, 7, (h, w, 1)).astype(np.float32)
+    else:
+        noise = nrng.normal(0.0, noise_sigma, (h, w, 3)).astype(np.float32)
+    return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
 
 
 def render_frame(t: int, hw: tuple[int, int] = (256, 512)) -> np.ndarray:
     """Frame t of the original (seed-0) synthetic drive: uint8 RGB."""
-    return _render(t, hw, 0)[0]
+    return _apply_noise(_render(t, hw, 0)[0], t, 0, None, 0)
 
 
 def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
                    seed: int = 0, occluders: int = 0, billboards: int = 0,
+                   noise_sigma: float | None = None, noise_seed: int = 0,
                    return_occ: bool = False):
     """(image, label[, occ_mask]) frame of the synthetic segmentation task.
 
@@ -158,8 +190,14 @@ def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
     can recover what the single-frame path cannot see. ``billboards``
     adds the texture-class rectangles whose occluded content is
     unpredictable from spatial context (see N_BILLBOARD_TEXTURES).
+    ``noise_sigma`` adds heavy i.i.d. per-frame sensor noise (see
+    ``_apply_noise``): the propagation window holds 4 aligned views of
+    the same scene under independent noise, so temporal feature
+    averaging — exactly what the attention-propagation path computes —
+    recovers what no amount of single-frame spatial pooling can.
     """
     img, lbl = _render(t, hw, seed, billboards=billboards)
+    img = _apply_noise(img, t, seed, noise_sigma, noise_seed)
     h, w = hw
     occ = np.zeros((h, w), bool)
     if occluders:
@@ -180,13 +218,15 @@ def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
 
 def labeled_clip(t0: int, n_frames: int, hw, *, seed: int = 0,
                  occluders: int = 0, billboards: int = 0,
+                 noise_sigma: float | None = None, noise_seed: int = 0,
                  return_occ: bool = False):
     """n consecutive labeled frames: (imgs [T,H,W,3] u8, lbls [T,H,W] i32
     [, occ [T,H,W] bool])."""
     imgs, lbls, occs = [], [], []
     for t in range(t0, t0 + n_frames):
         r = render_labeled(t, hw, seed=seed, occluders=occluders,
-                           billboards=billboards, return_occ=True)
+                           billboards=billboards, noise_sigma=noise_sigma,
+                           noise_seed=noise_seed, return_occ=True)
         imgs.append(r[0])
         lbls.append(r[1])
         occs.append(r[2])

@@ -29,6 +29,23 @@ _QMAX = 127.0
 _EPS = 1e-12
 
 
+def compiler_options_for(quant: str | None) -> dict | None:
+    """Per-compile XLA options a quantized step needs, else None.
+
+    The absmax+dequant+bn+relu producer fusions around the int8 convs
+    stack-allocate past the default 16 MiB scoped-vmem budget at
+    deployment shapes (v5e, [1,97,193,256]: "Ran out of memory in memory
+    space vmem ... 18.92M and limit 16.00M"). Raise the per-compile
+    scratch budget — v5e has 128 MiB of VMEM; 24 MiB of scratch is safe.
+    Pass the result as ``jax.jit(..., compiler_options=...)``. CPU (the
+    test mesh) rejects TPU-only flags, so it gets None.
+    """
+    import jax
+    if quant == "int8" and jax.default_backend() != "cpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": 24576}
+    return None
+
+
 def quantize_weight(w: jnp.ndarray):
     """Symmetric per-output-channel int8 for an HWIO kernel.
 

@@ -160,4 +160,6 @@ def make_group_stream_step(cfg: TDNetConfig, mesh: Mesh, *,
     def step(paths, atn, cache, frames):
         return shd(paths, atn, pids, cache, frames)
 
-    return jax.jit(step, donate_argnums=(2,) if donate_cache else ())
+    from tdnet_tpu.ops.quant import compiler_options_for
+    return jax.jit(step, donate_argnums=(2,) if donate_cache else (),
+                   compiler_options=compiler_options_for(quant))

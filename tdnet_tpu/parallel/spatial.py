@@ -52,9 +52,11 @@ def make_spatial_stream_step(cfg, mesh: Mesh, pid: int, *,
                                         cfg, pid, ctx)
         return out, new_cache
 
+    from tdnet_tpu.ops.quant import compiler_options_for
     return jax.jit(
         step,
         in_shardings=(rep, rep, rep, img_sh),
         out_shardings=(img_sh, rep),
         donate_argnums=(2,) if donate_cache else (),
+        compiler_options=compiler_options_for(quant),
     )

@@ -89,7 +89,9 @@ class Streamer:
                           quant=quant, ablate_prop=ablate_prop)
                 return self._stream_step(pp, ap, cache, img, cfg, pid, ctx)
 
-            return jax.jit(step, donate_argnums=(2,) if donate_cache else ())
+            from tdnet_tpu.ops.quant import compiler_options_for
+            return jax.jit(step, donate_argnums=(2,) if donate_cache else (),
+                           compiler_options=compiler_options_for(quant))
 
         self._steps = [make_step(p) for p in range(cfg.path_num)]
 

@@ -225,4 +225,5 @@ def make_eval_step(cfg: TDNetConfig, mesh=None, *, unroll: bool | None = None,
                   unroll=unroll)
         return jnp.argmax(res["out"], axis=-1)
 
-    return jax.jit(eval_step)
+    from tdnet_tpu.ops.quant import compiler_options_for
+    return jax.jit(eval_step, compiler_options=compiler_options_for(quant))
