@@ -7,11 +7,12 @@ trainability (the learning-sanity run) don't pin that: a per-pixel task
 is solvable by the cold-cache path alone (VERDICT r3, missing #1).
 
 This script builds a genuinely TEMPORAL synthetic task — moving street
-scenes where per-frame occluders hide different regions every frame and
-labels keep the underlying scene (data/synthetic.py:render_labeled) —
-trains TD4-PSP18 on clips with the reference loss shape (CE(out) +
-0.5 CE(out_sub) + 0.1 CE(aux)), then measures streaming mIoU two ways
-over held-out videos:
+scenes with FLASHING billboards whose texture (the only evidence of
+their label class) is shown one frame in every flash_period
+(data/synthetic.py:render_labeled, task history in the constants
+below) — trains TD4-PSP18 on clips with the reference loss shape
+(CE(out) + 0.5 CE(out_sub) + 0.1 CE(aux)), then measures streaming mIoU
+two ways over held-out videos:
 
   warm    — the real streaming path (cache warmed, propagation active)
   ablated — Ctx.ablate_prop: the cold-cache head(LN(v_cur)) output
@@ -36,26 +37,29 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 HW = (193, 385)
-# scene classes + the 8 billboard texture classes: a billboard's class is
-# random per instance, so under an occluder it is unpredictable from the
-# current frame's context (uniform prior over 8) but readable in the
-# neighboring frames the propagation path attends to. The round-4 first
-# cut (6 scene classes, no billboards) TIED warm vs ablated at 0.671:
-# the scene geometry was spatially inpaintable, so the single-frame path
-# lost nothing (MECHANISM.json history / VERDICT r3 missing #1).
+# scene classes + the 8 billboard texture classes. Task design history
+# (each earlier variant TIED warm vs ablated — MECHANISM.json history):
+#   v1 scene-only: spatially inpaintable, single-frame path loses nothing.
+#   v2 occluded billboards: recovering content UNDER an occluder needs
+#      content-based retrieval the query cannot express (it encodes the
+#      occluder, not the scene); 700 CE steps never learn it.
+#   v3 heavy i.i.d. sensor noise: the conv stack averages pixel noise
+#      away long before the stride-8 features, so no information gap
+#      survives at the feature level (warm-ablated delta -0.0001).
+# v4 FLASHING billboards: each billboard shows its texture (the only
+# evidence of its label class) one frame in every FLASH_PERIOD, and a
+# neutral gray interior otherwise; labels never change. On dark frames
+# the class is structurally unobservable from the current frame — yet
+# the billboard itself is plainly visible (gray panel + bright border),
+# so the query position encodes WHERE to look and retrieval reduces to
+# matching the shared surrounding context against the window's keys,
+# which is learnable. With FLASH_PERIOD == path_num the last lit frame
+# always sits inside the propagation window.
 N_CLASSES = 6 + 8
-OCCLUDERS = 3
-BILLBOARDS = 6
-# Billboards alone still tied (0.3989 vs 0.3986, git 92488b5): recovering
-# content under an occluder needs content-based retrieval — the query at
-# an occluded position encodes the OCCLUDER, not the scene — and 700
-# steps of CE never learn it. Heavy i.i.d. per-frame sensor noise is the
-# learnable temporal signal: the propagation window holds 4 aligned views
-# of the same scene under independent noise, so the feature recomposition
-# v_cur + v_prop the warm path computes averages it down (near-linear in
-# the attention output — gradient descent finds it), while the ablated
-# single-frame path head(LN(v_cur)) cannot beat the per-frame SNR.
-NOISE_SIGMA = 45.0
+OCCLUDERS = 0
+BILLBOARDS = 8
+FLASH_PERIOD = 4
+NOISE_SIGMA = None
 TRAIN_SEEDS = list(range(1, 9))      # seed 0 = the demo clip; keep held out
 EVAL_SEEDS = [100, 101, 102]
 EVAL_FRAMES = 36
@@ -77,6 +81,7 @@ def make_batch(rng: np.random.RandomState, batch: int, path_num: int):
         imgs, lbls = labeled_clip(t0, path_num, HW, seed=seed,
                                   occluders=OCCLUDERS, billboards=BILLBOARDS,
                                   noise_sigma=NOISE_SIGMA,
+                                  flash_period=FLASH_PERIOD,
                                   noise_seed=rng.randint(1 << 20))
         fs.append(_norm_clip(imgs))
         ls.append(lbls[-1])
@@ -126,12 +131,13 @@ def eval_stream(params, ablate: bool, quant: str | None = None):
     streamer = Streamer(params, cfg, attn_impl=attn, ablate_prop=ablate,
                         quant=quant)
     score = RunningScore(N_CLASSES)
-    occ_score = RunningScore(N_CLASSES)   # occluded pixels only
+    occ_score = RunningScore(N_CLASSES)   # temporal-only pixels (occ mask)
     for seed in EVAL_SEEDS:
         imgs, lbls, occ = labeled_clip(0, EVAL_FRAMES, HW, seed=seed,
                                        occluders=OCCLUDERS,
                                        billboards=BILLBOARDS,
                                        noise_sigma=NOISE_SIGMA,
+                                       flash_period=FLASH_PERIOD,
                                        return_occ=True)
         imgs = _norm_clip(imgs)
         streamer.reset()
@@ -147,17 +153,29 @@ def eval_stream(params, ablate: bool, quant: str | None = None):
         return {"miou": float(scores["Mean IoU : \t"]),
                 "acc": float(scores["Overall Acc: \t"]),
                 "class_iou": {k: float(v) for k, v in cls_iu.items()}}
-    return {**_pack(score), "occluded_only": _pack(occ_score)}
+    return {**_pack(score), "temporal_only": _pack(occ_score)}
 
 
 def main():
+    import pickle
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=700)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--out", default="MECHANISM.json")
+    ap.add_argument("--params", default="/tmp/mech_params.pkl",
+                    help="trained-checkpoint pickle (written after train, "
+                         "reused by --eval_only)")
+    ap.add_argument("--eval_only", action="store_true")
     args = ap.parse_args()
 
-    params, _ = train(args.steps, args.batch)
+    if args.eval_only:
+        with open(args.params, "rb") as f:
+            params = pickle.load(f)
+    else:
+        params, _ = train(args.steps, args.batch)
+        with open(args.params, "wb") as f:
+            pickle.dump(params, f)
     warm = eval_stream(params, ablate=False)
     ablated = eval_stream(params, ablate=True)
 
@@ -172,21 +190,23 @@ def main():
                    "miou_delta": round(warm_int8["miou"] - warm["miou"], 4)},
                   f, indent=1)
     result = {
-        "task": ("synthetic moving street scenes, heavy i.i.d. per-frame "
-                 f"sensor noise (sigma={NOISE_SIGMA:g}/255 per channel) + "
-                 f"per-frame occluders (x{OCCLUDERS}) + {BILLBOARDS} "
-                 "random-texture billboards, labels = underlying clean "
-                 "scene"),
+        "task": ("synthetic moving street scenes, "
+                 f"{BILLBOARDS} FLASHING billboards (texture shown 1 frame "
+                 f"in {FLASH_PERIOD}, neutral gray otherwise, labels keep "
+                 "the texture class) — billboard class is structurally "
+                 "unobservable from a dark frame, readable only from the "
+                 "propagation window"),
         "model": "td4-psp18", "in_size": HW, "nclass": N_CLASSES,
-        "noise_sigma": NOISE_SIGMA,
+        "flash_period": FLASH_PERIOD,
         "billboards": BILLBOARDS, "occluders": OCCLUDERS,
+        "noise_sigma": NOISE_SIGMA,
         "train_steps": args.steps, "train_seeds": TRAIN_SEEDS,
         "eval_seeds": EVAL_SEEDS, "eval_frames_per_video": EVAL_FRAMES,
         "warm": warm, "ablated": ablated,
         "miou_delta_warm_minus_ablated": round(
             warm["miou"] - ablated["miou"], 4),
-        "occluded_miou_delta_warm_minus_ablated": round(
-            warm["occluded_only"]["miou"] - ablated["occluded_only"]["miou"],
+        "temporal_only_miou_delta_warm_minus_ablated": round(
+            warm["temporal_only"]["miou"] - ablated["temporal_only"]["miou"],
             4),
         "mechanism_net_positive": warm["miou"] > ablated["miou"],
     }

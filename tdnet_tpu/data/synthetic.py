@@ -38,20 +38,22 @@ N_CLASSES = len(CLASSES)
 N_BILLBOARD_TEXTURES = 8
 
 
-def _render(t: int, hw: tuple[int, int], seed: int, billboards: int = 0):
-    """Cached clean frame t: copies of (uint8 RGB [H,W,3], int32 [H,W]).
+def _render(t: int, hw: tuple[int, int], seed: int, billboards: int = 0,
+            flash_period: int | None = None):
+    """Cached clean frame t: copies of (uint8 RGB, int32 labels, dark mask).
 
     Rendering is the host-side cost of the mechanism-proof training loop
     (one CPU core — CLAUDE.md): the clean scene for a (t, seed) pair is
     rendered once and memoized; per-draw sensor noise is applied outside
     in ``render_labeled``.
     """
-    img, lbl = _render_impl(t, hw, seed, billboards)
-    return img.copy(), lbl.copy()
+    img, lbl, dark = _render_impl(t, hw, seed, billboards, flash_period)
+    return img.copy(), lbl.copy(), dark.copy()
 
 
 @functools.lru_cache(maxsize=1024)
-def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int):
+def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int,
+                 flash_period: int | None = None):
     """Frame t of the synthetic drive (noise-free; do not mutate).
 
     ``seed`` varies the static world geometry (building skyline), the
@@ -104,6 +106,7 @@ def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int):
     # skyline band, panning with the camera like the buildings. Grating
     # phase is computed in WORLD coordinates so the pattern rides the
     # billboard instead of shimmering in place.
+    dark = np.zeros((h, w), bool)
     if billboards:
         brng = np.random.RandomState(seed * 52361 + 11)
         xw = xx + pan
@@ -113,16 +116,31 @@ def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int):
             bx = 1.2 * brng.rand()
             by = 0.03 + (horizon - bh - 0.05) * brng.rand()
             tex = brng.randint(N_BILLBOARD_TEXTURES)
+            # flashing billboards (mechanism-proof task v4): the texture —
+            # the only evidence of the label class — is shown one frame in
+            # every ``flash_period``; other frames render a neutral gray
+            # interior. The per-instance phase makes lit frames asynchronous
+            # across billboards. With flash_period <= path_num the last lit
+            # frame is always inside the propagation window, so the class
+            # is recoverable from the warm cache yet structurally
+            # unobservable in a dark current frame (labels never change).
+            lit = True
+            if flash_period is not None:
+                lit = (t + brng.randint(flash_period)) % flash_period == 0
             x0 = (bx - pan) % 1.2 - 0.1
             mask = (xx >= x0) & (xx < x0 + bw) & (yy >= by) & (yy < by + bh)
             theta = (tex % 4) * (np.pi / 4.0)
             freq = 12.0 if tex < 4 else 30.0
             phase = np.cos(2 * np.pi * freq
                            * (xw * np.cos(theta) + yy * 2.0 * np.sin(theta)))
-            shade = np.clip(150 + 75 * phase, 0, 255).astype(np.uint8)
+            if lit:
+                shade = np.clip(150 + 75 * phase, 0, 255).astype(np.uint8)
+            else:
+                shade = np.full((h, w), 150, np.uint8)
             for c in range(3):
                 img[..., c] = np.where(mask, shade, img[..., c])
             lbl[mask] = N_CLASSES + tex
+            dark[mask] = not lit
             # bright frame so a PARTIALLY occluded billboard is still
             # localizable from the current frame
             inner = ((xx >= x0 + 0.008) & (xx < x0 + bw - 0.008)
@@ -146,8 +164,9 @@ def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int):
         (np.abs(xx - cx + 0.6 * s) < 0.18 * s) |
         (np.abs(xx - cx - 0.6 * s) < 0.18 * s))
     img[wheels] = [15, 15, 15]                  # wheels stay class "car"
+    dark &= lbl >= N_CLASSES   # later scene layers (car) overwrite billboards
 
-    return img, lbl
+    return img, lbl, dark
 
 
 def _apply_noise(img: np.ndarray, t: int, seed: int,
@@ -176,10 +195,21 @@ def render_frame(t: int, hw: tuple[int, int] = (256, 512)) -> np.ndarray:
     return _apply_noise(_render(t, hw, 0)[0], t, 0, None, 0)
 
 
+def labeled_flash_clip(t0: int, n_frames: int, hw, *, seed: int = 0,
+                       billboards: int = 8, flash_period: int = 4):
+    """Mechanism-proof v4 clips: flashing billboards, no occluders/noise.
+
+    Returns (imgs [T,H,W,3] u8, lbls [T,H,W] i32, dark [T,H,W] bool) where
+    ``dark`` marks billboard pixels whose texture is hidden this frame.
+    """
+    return labeled_clip(t0, n_frames, hw, seed=seed, billboards=billboards,
+                        flash_period=flash_period, return_occ=True)
+
+
 def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
                    seed: int = 0, occluders: int = 0, billboards: int = 0,
                    noise_sigma: float | None = None, noise_seed: int = 0,
-                   return_occ: bool = False):
+                   flash_period: int | None = None, return_occ: bool = False):
     """(image, label[, occ_mask]) frame of the synthetic segmentation task.
 
     ``occluders`` > 0 stamps that many magenta-tinted textured rectangles
@@ -191,15 +221,17 @@ def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
     adds the texture-class rectangles whose occluded content is
     unpredictable from spatial context (see N_BILLBOARD_TEXTURES).
     ``noise_sigma`` adds heavy i.i.d. per-frame sensor noise (see
-    ``_apply_noise``): the propagation window holds 4 aligned views of
-    the same scene under independent noise, so temporal feature
-    averaging — exactly what the attention-propagation path computes —
-    recovers what no amount of single-frame spatial pooling can.
+    ``_apply_noise``). ``flash_period`` makes billboard textures
+    intermittent (see ``_render_impl``) — the mechanism-proof v4 task.
+
+    The returned ``occ_mask`` marks pixels whose class is unobservable in
+    THIS frame (occluder-covered or dark-billboard): the temporal-only
+    pixels a single-frame model can at best guess.
     """
-    img, lbl = _render(t, hw, seed, billboards=billboards)
+    img, lbl, occ = _render(t, hw, seed, billboards=billboards,
+                            flash_period=flash_period)
     img = _apply_noise(img, t, seed, noise_sigma, noise_seed)
     h, w = hw
-    occ = np.zeros((h, w), bool)
     if occluders:
         orng = np.random.RandomState(seed * 104729 + 13 * t + 7)
         for _ in range(occluders):
@@ -219,14 +251,15 @@ def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
 def labeled_clip(t0: int, n_frames: int, hw, *, seed: int = 0,
                  occluders: int = 0, billboards: int = 0,
                  noise_sigma: float | None = None, noise_seed: int = 0,
-                 return_occ: bool = False):
+                 flash_period: int | None = None, return_occ: bool = False):
     """n consecutive labeled frames: (imgs [T,H,W,3] u8, lbls [T,H,W] i32
     [, occ [T,H,W] bool])."""
     imgs, lbls, occs = [], [], []
     for t in range(t0, t0 + n_frames):
         r = render_labeled(t, hw, seed=seed, occluders=occluders,
                            billboards=billboards, noise_sigma=noise_sigma,
-                           noise_seed=noise_seed, return_occ=True)
+                           noise_seed=noise_seed, flash_period=flash_period,
+                           return_occ=True)
         imgs.append(r[0])
         lbls.append(r[1])
         occs.append(r[2])

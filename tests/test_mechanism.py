@@ -91,6 +91,68 @@ def test_occluders_hide_pixels_not_labels():
     assert (changed != changed2).mean() > 0.01
 
 
+def test_sensor_noise_is_temporal_information():
+    # same (seed, t, noise_seed) -> deterministic; new noise_seed -> new
+    # noise instance over the SAME clean scene (labels unchanged)
+    i1, l1 = render_labeled(2, (96, 192), seed=4, noise_sigma=45.0,
+                            noise_seed=9)
+    i2, l2 = render_labeled(2, (96, 192), seed=4, noise_sigma=45.0,
+                            noise_seed=9)
+    i3, l3 = render_labeled(2, (96, 192), seed=4, noise_sigma=45.0,
+                            noise_seed=10)
+    assert np.array_equal(i1, i2) and not np.array_equal(i1, i3)
+    assert np.array_equal(l1, l2) and np.array_equal(l1, l3)
+    # heavy noise: per-pixel class evidence is genuinely degraded
+    clean, _ = render_labeled(2, (96, 192), seed=4)
+    d = np.abs(i1.astype(int) - clean.astype(int)).mean()
+    assert d > 20.0
+    # per-frame independence: consecutive frames draw fresh noise
+    j1, _ = render_labeled(3, (96, 192), seed=4, noise_sigma=45.0,
+                           noise_seed=9)
+    assert not np.array_equal(i1, j1)
+    # default (noise_sigma=None) keeps the legacy mild jitter: close to
+    # the clean render everywhere
+    mild, _ = render_labeled(2, (96, 192), seed=4)
+    assert np.array_equal(mild, clean)
+
+
+def test_flashing_billboards_are_temporal_only_information():
+    from tdnet_tpu.data.synthetic import labeled_flash_clip
+    imgs, lbls, dark = labeled_flash_clip(0, 8, (96, 192), seed=4,
+                                          billboards=8, flash_period=4)
+    bb = lbls >= N_CLASSES
+    # labels never change with the flash phase; dark only marks billboards
+    assert (dark & ~bb).sum() == 0
+    # some billboard pixels are dark and some lit over the clip
+    assert dark.any() and (bb & ~dark).any()
+    # a dark billboard interior is a flat achromatic gray (150 +- the
+    # legacy +-6 luminance jitter) — zero class evidence. Border pixels
+    # (the yellow frame) are chromatic, hence the 0.5 fraction bound.
+    t = next(t for t in range(8) if dark[t].any())
+    px = imgs[t][dark[t]].astype(int)
+    achrom = (px.max(axis=1) - px.min(axis=1)) == 0
+    assert achrom.mean() > 0.5
+    assert np.abs(px[achrom, 0] - 150).max() <= 6
+    # with flash_period == 4 every dark pixel's class was visible within
+    # the previous 3 frames SOMEWHERE (the billboard pans, so check the
+    # class is present in the frame, not the same pixel)
+    for t in range(3, 8):
+        for c in np.unique(lbls[t][dark[t]]):
+            seen = any(((lbls[s] == c) & ~dark[s]).any()
+                       for s in range(t - 3, t + 1))
+            assert seen, f"class {c} dark at t={t} never lit in window"
+    # deterministic
+    imgs2, lbls2, dark2 = labeled_flash_clip(0, 8, (96, 192), seed=4,
+                                             billboards=8, flash_period=4)
+    assert np.array_equal(imgs, imgs2) and np.array_equal(dark, dark2)
+    # flash_period=None keeps the legacy always-lit renderer byte-identical
+    li, ll = render_labeled(3, (96, 192), seed=4, billboards=8)
+    fi, fl, fd = render_labeled(3, (96, 192), seed=4, billboards=8,
+                                flash_period=None, return_occ=True)
+    assert np.array_equal(li, fi) and np.array_equal(ll, fl)
+    assert not fd.any()
+
+
 def test_scene_moves_and_seeds_differ():
     imgs, lbls = labeled_clip(0, 4, (96, 192), seed=1)
     assert imgs.shape == (4, 96, 192, 3) and lbls.shape == (4, 96, 192)
