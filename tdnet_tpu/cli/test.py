@@ -217,8 +217,13 @@ def main(argv=None):
                 cv2.namedWindow("Image")
                 cv2.imshow("Image", decode_segmap(pred, palette))
                 cv2.waitKey(1)
-        print(" Frame {0:2d}   RunningTime/Latency={1:3.5f} s"
-              .format(emitted[0], dt))
+        # Group mode computes P frames per super-step: its per-frame
+        # number is a throughput reciprocal, not a latency (see
+        # stream/parallel_runtime.py GroupStreamer._run_group).
+        label = ("Throughput/frame" if args.parallel == "group"
+                 else "RunningTime/Latency")
+        print(" Frame {0:2d}   {1:s}={2:3.5f} s"
+              .format(emitted[0], label, dt))
 
     with prof:
         for i, (x, img_name, folder, ori_size) in enumerate(vid_seq):
@@ -230,8 +235,15 @@ def main(argv=None):
 
     print("---------------------")
     print(" Model: {0:s}".format(args.model))
-    print(" Average  RunningTime/Latency={0:3.5f} s  ({1:.1f} FPS)".format(
-        meter.avg, meter.fps))
+    if args.parallel == "group":
+        print(" Average  Throughput/frame={0:3.5f} s  ({1:.1f} FPS)".format(
+            meter.avg, meter.fps))
+        print(" Average  Super-step latency={0:3.5f} s  "
+              "({1:d} frames per super-step)".format(
+                  streamer.superstep_meter.avg, cfg.path_num))
+    else:
+        print(" Average  RunningTime/Latency={0:3.5f} s  ({1:.1f} FPS)".format(
+            meter.avg, meter.fps))
     print("---------------------")
 
 

@@ -37,11 +37,12 @@ def compiler_options_for(quant: str | None) -> dict | None:
     deployment shapes (v5e, [1,97,193,256]: "Ran out of memory in memory
     space vmem ... 18.92M and limit 16.00M"). Raise the per-compile
     scratch budget — v5e has 128 MiB of VMEM; 24 MiB of scratch is safe.
-    Pass the result as ``jax.jit(..., compiler_options=...)``. CPU (the
-    test mesh) rejects TPU-only flags, so it gets None.
+    Pass the result as ``jax.jit(..., compiler_options=...)``. Non-TPU
+    backends (the CPU test mesh, or a GPU) reject TPU-only flags, so
+    they get None.
     """
     import jax
-    if quant == "int8" and jax.default_backend() != "cpu":
+    if quant == "int8" and jax.default_backend() == "tpu":
         return {"xla_tpu_scoped_vmem_limit_kib": 24576}
     return None
 

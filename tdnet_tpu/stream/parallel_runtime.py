@@ -16,7 +16,12 @@ users with a TPU slice get them as one-liners:
   runtime.
 
 Both yield per-frame (logits, seconds) like ``Streamer.step`` so the
-CLI's per-frame latency print and PNG writer are mode-agnostic.
+CLI's per-frame print and PNG writer are mode-agnostic — but the two
+"seconds" mean different things: spatial mode reports a true per-frame
+latency; group mode reports seconds-per-frame *throughput* (super-step
+time / P) and keeps the honest super-step latency in a separate
+``superstep_meter`` (a frame's time-to-result also includes up to P-1
+frames of queueing while its group fills).
 The reference has no analog — its only parallelism is training-time
 DataParallel (Training/train.py:77); streaming is single-GPU
 (Testing/test.py:46-74).
@@ -69,7 +74,14 @@ class GroupStreamer:
             cfg, self.mesh, attn_impl=attn_impl, stem_impl=stem_impl,
             fused_trunk=fused_trunk, quant=quant, donate_cache=donate_cache)
         self.reset()
+        # meter: seconds-per-frame THROUGHPUT (super-step time / P).
+        # superstep_meter: honest super-step LATENCY — a frame's true
+        # time-to-result additionally includes up to P-1 frames of
+        # queueing in ``submit`` while its group fills.
         self.meter = LatencyMeter()
+        # warmup in super-steps ~ the frame meter's 6-frame warmup
+        self.superstep_meter = LatencyMeter(
+            warmup=-(-6 // cfg.path_num))
 
     def reset(self):
         self.cache = jax.tree.map(
@@ -90,7 +102,14 @@ class GroupStreamer:
 
     def _run_group(self, frames: list, n_real: int, timed: bool):
         """Run one super-step over ``frames`` (length P); returns the
-        first ``n_real`` per-frame (logits, dt) pairs."""
+        first ``n_real`` per-frame (logits, dt) pairs.
+
+        ``dt`` is seconds-per-frame *throughput* (super-step time / P),
+        NOT a latency — the device computes P frames at once, and a
+        frame may also have queued up to P-1 submits before its group
+        ran. The super-step wall time itself is recorded in
+        ``superstep_meter``.
+        """
         grp = jax.device_put(
             jnp.stack([f.astype(self.dtype) for f in frames]), self._path_sh)
         if timed:
@@ -99,7 +118,10 @@ class GroupStreamer:
         out, self.cache = self._step(self.paths, self.atn, self.cache, grp)
         if timed:
             hard_sync(out)
-        dt = (time.perf_counter() - t0) / self.cfg.path_num
+        dt_super = time.perf_counter() - t0
+        if timed:
+            self.superstep_meter.add(dt_super)
+        dt = dt_super / self.cfg.path_num
         results = []
         for i in range(n_real):
             if timed:

@@ -30,7 +30,7 @@ def _count_pngs(out_dir):
     ("group", []),
     ("spatial", []),
 ])
-def test_cli_parallel_streaming(mode, extra, tmp_path, monkeypatch):
+def test_cli_parallel_streaming(mode, extra, tmp_path, monkeypatch, capsys):
     from tdnet_tpu.cli import test as test_cli
 
     vid = str(tmp_path / "vid")
@@ -43,6 +43,17 @@ def test_cli_parallel_streaming(mode, extra, tmp_path, monkeypatch):
                    "--in_size", "64", "96"] + extra)
     assert _count_pngs(out_dir) == n_frames, \
         f"{mode} mode must emit one PNG per input frame"
+    stdout = capsys.readouterr().out
+    if mode == "group":
+        # group mode computes P frames per super-step: per-frame numbers
+        # are throughput reciprocals and must not be labeled latency,
+        # and the honest super-step latency is reported separately
+        assert "Throughput/frame" in stdout
+        assert "Super-step latency" in stdout
+        assert "RunningTime/Latency" not in stdout
+    else:
+        assert "RunningTime/Latency" in stdout
+        assert "Super-step latency" not in stdout
 
 
 def test_cli_parallel_rejects_non_tdnet(tmp_path):

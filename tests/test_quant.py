@@ -110,6 +110,23 @@ def test_streamer_int8_step_runs():
     assert np.mean(agree) > 0.80, agree
 
 
+def test_eval_step_quant_compiles_fast_lane():
+    """Fast-lane guard: the int8 eval step (the path ``compiler_options_for``
+    and the quantized Streamer share) compiles and runs at a tiny shape.
+    Full float-vs-int8 agreement lives in the slow lane below."""
+    from tdnet_tpu.models.tdnet import TDNetConfig, init_tdnet
+    from tdnet_tpu.train.trainer import make_eval_step
+
+    cfg = TDNetConfig(nclass=19, backbone="resnet10", path_num=2,
+                      in_size=(33, 65), kv_stride=3, aux=False)
+    params = init_tdnet(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(np.random.RandomState(0).randn(
+        1, 2, *cfg.in_size, 3).astype(np.float32))
+    pq = np.asarray(make_eval_step(cfg, quant="int8")(
+        params, frames, jnp.int32(0)))
+    assert pq.shape == (2, *cfg.in_size) and np.isfinite(pq).all()
+
+
 @pytest.mark.slow
 def test_eval_step_quant_runs():
     """cli.validate --quant int8 path: the eval step compiles and its
