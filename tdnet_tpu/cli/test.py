@@ -43,6 +43,12 @@ def main(argv=None):
     parser.add_argument("--warm_compile", action="store_true")
     parser.add_argument("--attn_impl", type=str, default="xla",
                         choices=["xla", "pallas"])
+    parser.add_argument("--stem_impl", type=str, default="oct",
+                        choices=["xla", "oct", "s2d", "fused"],
+                        help="stem dataflow: 'oct' im2col-matmul 7x7 "
+                             "(default), 'fused' Pallas deep-stem tail "
+                             "(TPU, deep-base backbones; exact to "
+                             "float-sum order)")
     parser.add_argument("--quant", type=str, default=None,
                         choices=["int8"],
                         help="opt-in int8 PTQ backbone (ops/quant.py)")
@@ -120,7 +126,8 @@ def main(argv=None):
             params = init_pspnet(key, cfg)
         if dtype != jnp.float32:
             params = jax.tree.map(lambda x: x.astype(dtype), params)
-        fwd = jax.jit(lambda p, x: apply_pspnet(p, x, cfg, Ctx(train=False))[0])
+        fwd = jax.jit(lambda p, x: apply_pspnet(
+            p, x, cfg, Ctx(train=False, stem_impl=args.stem_impl))[0])
         meter = LatencyMeter(warmup=6)
 
         def run_frame(i, x):
@@ -165,7 +172,8 @@ def main(argv=None):
                   f"(mesh {dict(streamer.mesh.shape)})")
         else:
             streamer = Streamer(params, cfg, dtype=dtype,
-                                attn_impl=args.attn_impl, quant=args.quant)
+                                attn_impl=args.attn_impl,
+                                stem_impl=args.stem_impl, quant=args.quant)
         if args.warm_compile:
             example = jnp.zeros((1, *in_size, 3), dtype)
             streamer.warm_compile(example)

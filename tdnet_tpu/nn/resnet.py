@@ -244,27 +244,47 @@ def apply_resnet(params: dict, x: jnp.ndarray, cfg: ResNetConfig, ctx: Ctx):
     np_ = dict(params)
     stem = dict(params["stem"])
     stem_impl = ctx.stem_impl
-    if cfg.deep_base and stem_impl == "oct":
+    # "fused": Pallas deep-stem tail (conv1+BN+ReLU -> conv2+BN+ReLU ->
+    # maxpool in one VMEM pass — kernels/fused_stem.py). Eval-only (the
+    # train path needs full activations for BN batch stats) and only
+    # meaningful for deep-base; elsewhere it degrades to the best
+    # default for that stem shape.
+    fused_tail = (cfg.deep_base and stem_impl == "fused" and not ctx.train)
+    if not cfg.deep_base and stem_impl == "fused":
+        stem_impl = "oct"
+    if cfg.deep_base and stem_impl in ("oct", "fused") and not fused_tail:
         # 3x3 deep-base stems (27-deep contraction) measured slightly
         # SLOWER with the im2col matmul on v5e (48.3 -> 47.1 FPS for
         # TD2-PSP50 @1025x2049); the win is the channel-starved 7x7
         # (TD4-PSP18 @769x1537: 131.5 -> 160.8 FPS).
         stem_impl = "xla"
-    stem_conv = {"xla": lambda x, w, padding: conv2d(x, w, stride=2,
-                                                     padding=padding),
-                 "s2d": conv2d_stem_s2d,
-                 "oct": conv2d_stem_oct}[stem_impl]
-    if cfg.deep_base:
-        x = stem_conv(x, stem["conv0"]["w"], padding=1)
+    if fused_tail:
+        from tdnet_tpu.kernels.fused_stem import (fold_bn_eval,
+                                                  fused_stem_tail)
+        x = conv2d(x, stem["conv0"]["w"], stride=2, padding=1)
         x, stem["bn0"] = ctx.bn(x, stem["bn0"], activation="relu")
-        x = conv2d(x, stem["conv1"]["w"], padding=1)
-        x, stem["bn1"] = ctx.bn(x, stem["bn1"], activation="relu")
-        x = conv2d(x, stem["conv2"]["w"], padding=1)
+        x = fused_stem_tail(x, stem["conv1"]["w"],
+                            fold_bn_eval(stem["bn1"]),
+                            stem["conv2"]["w"],
+                            fold_bn_eval(params["bn1"]))
+        np_["stem"] = stem
+        np_["bn1"] = params["bn1"]
     else:
-        x = stem_conv(x, stem["conv0"]["w"], padding=3)
-    np_["stem"] = stem
-    x, np_["bn1"] = ctx.bn(x, params["bn1"], activation="relu")
-    x = max_pool(x, 3, 2, 1)
+        stem_conv = {"xla": lambda x, w, padding: conv2d(x, w, stride=2,
+                                                         padding=padding),
+                     "s2d": conv2d_stem_s2d,
+                     "oct": conv2d_stem_oct}[stem_impl]
+        if cfg.deep_base:
+            x = stem_conv(x, stem["conv0"]["w"], padding=1)
+            x, stem["bn0"] = ctx.bn(x, stem["bn0"], activation="relu")
+            x = conv2d(x, stem["conv1"]["w"], padding=1)
+            x, stem["bn1"] = ctx.bn(x, stem["bn1"], activation="relu")
+            x = conv2d(x, stem["conv2"]["w"], padding=1)
+        else:
+            x = stem_conv(x, stem["conv0"]["w"], padding=3)
+        np_["stem"] = stem
+        x, np_["bn1"] = ctx.bn(x, params["bn1"], activation="relu")
+        x = max_pool(x, 3, 2, 1)
 
     plan = _block_plan(cfg)
     apply_block = _apply_basic if cfg.block == "basic" else _apply_bottleneck
