@@ -37,9 +37,29 @@ N_CLASSES = len(CLASSES)
 # can carry and the single-frame (ablated) path cannot.
 N_BILLBOARD_TEXTURES = 8
 
+# billboard_style="color" (mechanism-proof v5): the class evidence is a
+# SOLID per-instance color, not a grating — gratings at 193x385 flirt
+# with the stride-8 (x kv_stride) feature sampling rate, and VERDICT r4
+# showed the model could not classify grating billboards even on lit
+# frames (IoU 0.00-0.16), so the dark-frame comparison never measured
+# retrieval. A flat color survives any downsampling; lit-frame
+# classification reduces to color -> class.
+BILLBOARD_COLORS = np.array([
+    [220, 40, 40],    # red
+    [235, 130, 30],   # orange
+    [225, 215, 40],   # yellow
+    [50, 190, 60],    # green
+    [40, 205, 205],   # cyan
+    [50, 80, 225],    # blue
+    [150, 60, 215],   # purple
+    [230, 60, 160],   # magenta
+], np.uint8)
+
 
 def _render(t: int, hw: tuple[int, int], seed: int, billboards: int = 0,
-            flash_period: int | None = None):
+            flash_period: int | None = None,
+            billboard_style: str = "grating", billboard_scale: float = 1.0,
+            color_seed: int = 0):
     """Cached clean frame t: copies of (uint8 RGB, int32 labels, dark mask).
 
     Rendering is the host-side cost of the mechanism-proof training loop
@@ -47,13 +67,17 @@ def _render(t: int, hw: tuple[int, int], seed: int, billboards: int = 0,
     rendered once and memoized; per-draw sensor noise is applied outside
     in ``render_labeled``.
     """
-    img, lbl, dark = _render_impl(t, hw, seed, billboards, flash_period)
+    img, lbl, dark = _render_impl(t, hw, seed, billboards, flash_period,
+                                  billboard_style, billboard_scale,
+                                  color_seed)
     return img.copy(), lbl.copy(), dark.copy()
 
 
-@functools.lru_cache(maxsize=1024)
+@functools.lru_cache(maxsize=256)
 def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int,
-                 flash_period: int | None = None):
+                 flash_period: int | None = None,
+                 billboard_style: str = "grating",
+                 billboard_scale: float = 1.0, color_seed: int = 0):
     """Frame t of the synthetic drive (noise-free; do not mutate).
 
     ``seed`` varies the static world geometry (building skyline), the
@@ -109,13 +133,27 @@ def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int,
     dark = np.zeros((h, w), bool)
     if billboards:
         brng = np.random.RandomState(seed * 52361 + 11)
+        # color_seed != 0 re-draws the per-instance texture/color
+        # assignment from an INDEPENDENT stream while keeping the world
+        # geometry: the same scene exists in many color variants that are
+        # indistinguishable on a dark frame, so (scene, position) no
+        # longer determines the class — memorization cannot substitute
+        # for retrieval (mechanism-proof v6; v5 failed exactly there).
+        crng = (np.random.RandomState((seed * 52361 + 11
+                                       + 0x5D5A1 * color_seed) % (1 << 31))
+                if color_seed else None)
         xw = xx + pan
         for _ in range(billboards):
-            bw = 0.09 + 0.09 * brng.rand()
-            bh = 0.11 + 0.10 * brng.rand()
+            # scale applied AFTER the draws so billboard_scale=1.0 keeps
+            # the rng stream (and the rendered bytes) of earlier rounds
+            bw = (0.09 + 0.09 * brng.rand()) * billboard_scale
+            bh = min((0.11 + 0.10 * brng.rand()) * billboard_scale,
+                     horizon - 0.08)
             bx = 1.2 * brng.rand()
-            by = 0.03 + (horizon - bh - 0.05) * brng.rand()
+            by = 0.03 + max(horizon - bh - 0.05, 0.0) * brng.rand()
             tex = brng.randint(N_BILLBOARD_TEXTURES)
+            if crng is not None:
+                tex = crng.randint(N_BILLBOARD_TEXTURES)
             # flashing billboards (mechanism-proof task v4): the texture —
             # the only evidence of the label class — is shown one frame in
             # every ``flash_period``; other frames render a neutral gray
@@ -129,16 +167,22 @@ def _render_impl(t: int, hw: tuple[int, int], seed: int, billboards: int,
                 lit = (t + brng.randint(flash_period)) % flash_period == 0
             x0 = (bx - pan) % 1.2 - 0.1
             mask = (xx >= x0) & (xx < x0 + bw) & (yy >= by) & (yy < by + bh)
-            theta = (tex % 4) * (np.pi / 4.0)
-            freq = 12.0 if tex < 4 else 30.0
-            phase = np.cos(2 * np.pi * freq
-                           * (xw * np.cos(theta) + yy * 2.0 * np.sin(theta)))
-            if lit:
-                shade = np.clip(150 + 75 * phase, 0, 255).astype(np.uint8)
+            if billboard_style == "color":
+                # solid class color when lit, achromatic gray when dark
+                img[mask] = (BILLBOARD_COLORS[tex] if lit
+                             else np.array([150, 150, 150], np.uint8))
             else:
-                shade = np.full((h, w), 150, np.uint8)
-            for c in range(3):
-                img[..., c] = np.where(mask, shade, img[..., c])
+                theta = (tex % 4) * (np.pi / 4.0)
+                freq = 12.0 if tex < 4 else 30.0
+                phase = np.cos(2 * np.pi * freq
+                               * (xw * np.cos(theta)
+                                  + yy * 2.0 * np.sin(theta)))
+                if lit:
+                    shade = np.clip(150 + 75 * phase, 0, 255).astype(np.uint8)
+                else:
+                    shade = np.full((h, w), 150, np.uint8)
+                for c in range(3):
+                    img[..., c] = np.where(mask, shade, img[..., c])
             lbl[mask] = N_CLASSES + tex
             dark[mask] = not lit
             # bright frame so a PARTIALLY occluded billboard is still
@@ -209,7 +253,9 @@ def labeled_flash_clip(t0: int, n_frames: int, hw, *, seed: int = 0,
 def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
                    seed: int = 0, occluders: int = 0, billboards: int = 0,
                    noise_sigma: float | None = None, noise_seed: int = 0,
-                   flash_period: int | None = None, return_occ: bool = False):
+                   flash_period: int | None = None, return_occ: bool = False,
+                   billboard_style: str = "grating",
+                   billboard_scale: float = 1.0, color_seed: int = 0):
     """(image, label[, occ_mask]) frame of the synthetic segmentation task.
 
     ``occluders`` > 0 stamps that many magenta-tinted textured rectangles
@@ -229,7 +275,10 @@ def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
     pixels a single-frame model can at best guess.
     """
     img, lbl, occ = _render(t, hw, seed, billboards=billboards,
-                            flash_period=flash_period)
+                            flash_period=flash_period,
+                            billboard_style=billboard_style,
+                            billboard_scale=billboard_scale,
+                            color_seed=color_seed)
     img = _apply_noise(img, t, seed, noise_sigma, noise_seed)
     h, w = hw
     if occluders:
@@ -251,7 +300,9 @@ def render_labeled(t: int, hw: tuple[int, int] = (256, 512), *,
 def labeled_clip(t0: int, n_frames: int, hw, *, seed: int = 0,
                  occluders: int = 0, billboards: int = 0,
                  noise_sigma: float | None = None, noise_seed: int = 0,
-                 flash_period: int | None = None, return_occ: bool = False):
+                 flash_period: int | None = None, return_occ: bool = False,
+                 billboard_style: str = "grating",
+                 billboard_scale: float = 1.0, color_seed: int = 0):
     """n consecutive labeled frames: (imgs [T,H,W,3] u8, lbls [T,H,W] i32
     [, occ [T,H,W] bool])."""
     imgs, lbls, occs = [], [], []
@@ -259,7 +310,9 @@ def labeled_clip(t0: int, n_frames: int, hw, *, seed: int = 0,
         r = render_labeled(t, hw, seed=seed, occluders=occluders,
                            billboards=billboards, noise_sigma=noise_sigma,
                            noise_seed=noise_seed, flash_period=flash_period,
-                           return_occ=True)
+                           return_occ=True, billboard_style=billboard_style,
+                           billboard_scale=billboard_scale,
+                           color_seed=color_seed)
         imgs.append(r[0])
         lbls.append(r[1])
         occs.append(r[2])

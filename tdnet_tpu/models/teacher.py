@@ -65,7 +65,7 @@ def init_teacher(key, cfg: TeacherConfig, dtype=jnp.float32) -> dict:
 
 def apply_teacher(params: dict, x: jnp.ndarray, cfg: TeacherConfig,
                   group_id: jnp.ndarray | None = None,
-                  quant: str | None = None):
+                  quant: str | None = None, stem_impl: str = "xla"):
     """Returns (T_full, T_1, ..., T_P) logits at the c4 grid resolution,
     or — when ``group_id`` (a traced int, the student's pos_id) is given —
     ``(T_full, T_group_id)`` with ONLY that group's head applied. The KD
@@ -78,8 +78,12 @@ def apply_teacher(params: dict, x: jnp.ndarray, cfg: TeacherConfig,
     ``quant='int8'`` runs the frozen backbone on the int8 MXU path
     (ops/quant.py) — the KD targets absorb the bounded quant noise;
     opt-in, default is the exact reference dataflow.
+    ``stem_impl="fused"`` runs the frozen deep-base stem through the
+    Pallas fused tail (kernels/fused_stem.py — exact to float-sum
+    order); TPU-only, the trainer gates it on the backend like
+    attn_impl.
     """
-    ctx = Ctx(train=False, quant=quant)
+    ctx = Ctx(train=False, quant=quant, stem_impl=stem_impl)
     _, c4, _ = apply_resnet(params["backbone"], x, cfg.backbone_cfg, ctx)
     # shared-branch grouped PSP: pools/convs/BN/upsamples run once, not
     # once per group (nn/pyramid.py:apply_pyramid_pooling_groups)

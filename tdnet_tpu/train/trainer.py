@@ -136,6 +136,10 @@ def make_loss_of(cfg: TDNetConfig, *,
         # dryrun) keep the XLA formulation. Same math, float-sum order
         # apart; dropout RNG streams are impl-defined (docs/PARITY.md).
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # the frozen teacher runs in eval mode, so its deep-base stem can take
+    # the fused Pallas tail (kernels/fused_stem.py; float-sum order only).
+    # Mosaic/TPU-only, same backend gate as attn_impl.
+    teacher_stem = "fused" if jax.default_backend() == "tpu" else "xla"
 
     fwd = model_clip_forward(cfg)
 
@@ -158,7 +162,8 @@ def make_loss_of(cfg: TDNetConfig, *,
                        else _cast_wb(teacher_params, compute_dtype))
             t_full, t_grp = apply_teacher(tparams, fframes[-1], teacher_cfg,
                                           group_id=pos_id,
-                                          quant=teacher_quant)
+                                          quant=teacher_quant,
+                                          stem_impl=teacher_stem)
             kd = (kl_divergence(res["out_lowres"], t_full)
                   + 0.5 * kl_divergence(res["out_sub_lowres"], t_grp))
             loss = loss + kd

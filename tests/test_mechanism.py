@@ -153,6 +153,74 @@ def test_flashing_billboards_are_temporal_only_information():
     assert not fd.any()
 
 
+def test_color_billboards_solvable_when_visible():
+    """Mechanism-proof v5 task: solid-color billboards are classifiable
+    from a single LIT frame (the v4 gratings were not — VERDICT r4), and
+    dark interiors stay achromatic gray with zero class evidence."""
+    from tdnet_tpu.data.synthetic import BILLBOARD_COLORS, labeled_clip
+    imgs, lbls, dark = labeled_clip(0, 8, (192, 384), seed=4, billboards=5,
+                                    flash_period=4, return_occ=True,
+                                    billboard_style="color",
+                                    billboard_scale=1.8)
+    bb = lbls >= N_CLASSES
+    assert dark.any() and (bb & ~dark).any()
+    # scaled billboards: a much larger pixel footprint than the default
+    _, lbls1, _ = labeled_clip(0, 1, (192, 384), seed=4, billboards=5,
+                               flash_period=4, return_occ=True,
+                               billboard_style="color")
+    assert bb[0].mean() > 2.0 * (lbls1[0] >= N_CLASSES).mean()
+    # lit interiors are EXACTLY the class color (mod the ±6 one-channel
+    # jitter): color -> class is learnable from one frame
+    for t in range(4):
+        lit = bb[t] & ~dark[t]
+        for c in np.unique(lbls[t][lit]):
+            px = imgs[t][lit & (lbls[t] == c)].astype(int)
+            col = BILLBOARD_COLORS[c - N_CLASSES].astype(int)
+            close = (np.abs(px - col).max(axis=1) <= 6).mean()
+            assert close > 0.6, (t, c, close)   # rest is border frame
+    # dark interiors: achromatic, identical across classes (no evidence)
+    t = next(t for t in range(8) if dark[t].any())
+    px = imgs[t][dark[t]].astype(int)
+    achrom = (px.max(axis=1) - px.min(axis=1)) == 0
+    assert achrom.mean() > 0.5
+    assert np.abs(px[achrom, 0] - 150).max() <= 6
+    # grating style (default) is byte-stable: scale=1.0 keeps the rng
+    # stream of earlier rounds
+    a = render_labeled(3, (96, 192), seed=4, billboards=8)
+    b = render_labeled(3, (96, 192), seed=4, billboards=8,
+                       billboard_style="grating", billboard_scale=1.0)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_color_variants_break_memorization():
+    """Mechanism-proof v6: color_seed re-draws ONLY the per-instance
+    billboard colors. Dark frames must be pixel-identical across
+    variants (so scene identity cannot reveal the class) while labels
+    and lit pixels differ (so retrieval is the only way to the label)."""
+    from tdnet_tpu.data.synthetic import labeled_clip
+    kw = dict(billboards=5, flash_period=4, return_occ=True,
+              billboard_style="color", billboard_scale=1.8)
+    a = labeled_clip(0, 6, (96, 192), seed=4, **kw)
+    b = labeled_clip(0, 6, (96, 192), seed=4, color_seed=0, **kw)
+    c = labeled_clip(0, 6, (96, 192), seed=4, color_seed=1, **kw)
+    d = labeled_clip(0, 6, (96, 192), seed=4, color_seed=2, **kw)
+    # color_seed=0 keeps the legacy assignment byte-for-byte
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    # geometry (footprint + dark mask) is shared across variants
+    assert np.array_equal(a[1] >= N_CLASSES, c[1] >= N_CLASSES)
+    assert np.array_equal(a[2], c[2])
+    # colors (hence labels) are re-drawn per variant
+    assert not np.array_equal(a[1], c[1])
+    assert not np.array_equal(c[1], d[1])
+    # THE invariant: a dark frame is identical across variants — the
+    # class is unobservable AND unmemorizable from the current frame
+    t = next(t for t in range(6) if a[2][t].any())
+    m = a[2][t]
+    assert np.array_equal(a[0][t][m], c[0][t][m])
+    lit = (a[1][t] >= N_CLASSES) & ~m
+    assert not np.array_equal(a[0][t][lit], c[0][t][lit])
+
+
 def test_scene_moves_and_seeds_differ():
     imgs, lbls = labeled_clip(0, 4, (96, 192), seed=1)
     assert imgs.shape == (4, 96, 192, 3) and lbls.shape == (4, 96, 192)
