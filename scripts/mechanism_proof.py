@@ -304,55 +304,6 @@ def main():
     print("ablated:", json.dumps({k: v for k, v in ablated.items()
                                   if k != "class_iou"}), flush=True)
 
-    if not args.skip_int8 and not args.overfit:
-        # int8 PTQ accuracy at DEPLOYMENT geometry (VERDICT r4 next #6).
-        # The only resolution-dependent params are the 2-D LayerNorm
-        # affines ([h, w] of the c4 grid — models/tdnet.py:127); resize
-        # them bilinearly so the 385x769 checkpoint evaluates at 769x1537
-        # (quality drops a little, but the float-vs-int8 DELTA is what
-        # this artifact measures, at the geometry the compile fix of
-        # ops/quant.py:compiler_options_for was needed for).
-        import jax
-        from tdnet_tpu.models.tdnet import backbone_feat_hw
-        dst = backbone_feat_hw(INT8_HW)
-
-        def _resize_ln(p):
-            def walk(d):
-                if isinstance(d, dict):
-                    out = {}
-                    for k, v in d.items():
-                        if k == "ln":
-                            out[k] = {
-                                kk: jax.image.resize(
-                                    vv, (*vv.shape[:-2], *dst), "bilinear"
-                                ).astype(vv.dtype)
-                                for kk, vv in v.items()}
-                        else:
-                            out[k] = walk(v)
-                    return out
-                return d
-            return walk(p)
-
-        params769 = _resize_ln(params)
-        warm_769 = eval_stream(params769, ablate=False, hw=INT8_HW,
-                               eval_frames=INT8_FRAMES,
-                               eval_seeds=EVAL_SEEDS[:2])
-        int8_769 = eval_stream(params, ablate=False, quant="int8",
-                               hw=INT8_HW, eval_frames=INT8_FRAMES,
-                               eval_seeds=EVAL_SEEDS[:2])
-        with open("INT8_ACCURACY.json", "w") as f:
-            json.dump({"task": ("synthetic flashing-color-billboard task "
-                                "(mechanism-proof v5 ckpt)"),
-                       "model": "td4-psp18", "in_size": INT8_HW,
-                       "trained_at": HW,
-                       "eval_frames": INT8_FRAMES,
-                       "miou_float": warm_769["miou"],
-                       "miou_int8": int8_769["miou"],
-                       "miou_delta": round(
-                           int8_769["miou"] - warm_769["miou"], 4)},
-                      f, indent=1)
-        print("INT8_ACCURACY.json written", flush=True)
-
     delta_temporal = (warm["temporal_only"]["miou"]
                       - ablated["temporal_only"]["miou"])
     lit_ok = warm["lit_billboard_iou"] >= LIT_IOU_GATE
@@ -398,6 +349,58 @@ def main():
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items()
                       if k not in ("warm", "ablated")}))
+
+    # side artifact AFTER the main result is on disk — a crash in the
+    # int8 eval must never lose MECHANISM.json (it did once)
+    if not args.skip_int8 and not args.overfit:
+        # int8 PTQ accuracy at DEPLOYMENT geometry (VERDICT r4 next #6).
+        # The only resolution-dependent params are the 2-D LayerNorm
+        # affines ([h, w] of the c4 grid — models/tdnet.py:127); resize
+        # them bilinearly so the 385x769 checkpoint evaluates at 769x1537
+        # (quality drops a little, but the float-vs-int8 DELTA is what
+        # this artifact measures, at the geometry the compile fix of
+        # ops/quant.py:compiler_options_for was needed for).
+        import jax
+        from tdnet_tpu.models.tdnet import backbone_feat_hw
+        dst = backbone_feat_hw(INT8_HW)
+
+        def _resize_ln(p):
+            def walk(d):
+                if isinstance(d, dict):
+                    out = {}
+                    for k, v in d.items():
+                        if k == "ln":
+                            out[k] = {
+                                kk: jax.image.resize(
+                                    vv, (*vv.shape[:-2], *dst), "bilinear"
+                                ).astype(vv.dtype)
+                                for kk, vv in v.items()}
+                        else:
+                            out[k] = walk(v)
+                    return out
+                return d
+            return walk(p)
+
+        params769 = _resize_ln(params)
+        warm_769 = eval_stream(params769, ablate=False, hw=INT8_HW,
+                               eval_frames=INT8_FRAMES,
+                               eval_seeds=EVAL_SEEDS[:2])
+        int8_769 = eval_stream(params769, ablate=False, quant="int8",
+                               hw=INT8_HW, eval_frames=INT8_FRAMES,
+                               eval_seeds=EVAL_SEEDS[:2])
+        with open("INT8_ACCURACY.json", "w") as f:
+            json.dump({"task": ("synthetic flashing-color-billboard task "
+                                "(mechanism-proof v6 ckpt)"),
+                       "model": "td4-psp18", "in_size": INT8_HW,
+                       "trained_at": HW,
+                       "eval_frames": INT8_FRAMES,
+                       "miou_float": warm_769["miou"],
+                       "miou_int8": int8_769["miou"],
+                       "miou_delta": round(
+                           int8_769["miou"] - warm_769["miou"], 4)},
+                      f, indent=1)
+        print("INT8_ACCURACY.json written", flush=True)
+
     return 0 if result["mechanism_net_positive"] else 1
 
 
