@@ -62,7 +62,7 @@ def _bench_stream(model, in_size, dtype, n_frames=60):
     cfg = tdnet_config(model, in_size=in_size, streaming=True)
     params = init_tdnet(jax.random.PRNGKey(0), cfg)
     streamer = Streamer(params, cfg, dtype=dtype, attn_impl="pallas",
-                        stem_impl="fused")
+                        stem_impl="oct")
     imgs = _load_frames(in_size, dtype)
     streamer.warm_compile(imgs[0])
 
@@ -91,7 +91,7 @@ def _bench_psp101(in_size, dtype, n=40):
     params = jax.tree.map(lambda x: x.astype(dtype),
                           init_pspnet(jax.random.PRNGKey(0), cfg))
     fwd = jax.jit(lambda p, x: apply_pspnet(
-        p, x, cfg, Ctx(train=False, stem_impl="fused"))[0])
+        p, x, cfg, Ctx(train=False, stem_impl="oct"))[0])
     img = _load_frames(in_size, dtype, n=1)[0]
     hard_sync(fwd(params, img))
     spfs = []

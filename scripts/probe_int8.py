@@ -25,7 +25,7 @@ def bench(model, in_size, quant):
     cfg = tdnet_config(model, in_size=in_size, streaming=True)
     params = init_tdnet(jax.random.PRNGKey(0), cfg)
     streamer = Streamer(params, cfg, dtype=jnp.bfloat16, attn_impl="pallas",
-                        stem_impl="fused", quant=quant)
+                        stem_impl="oct", quant=quant)
     imgs = _load_frames(in_size, jnp.bfloat16)
     streamer.warm_compile(imgs[0])
     stream = [imgs[i % len(imgs)] for i in range(60)]

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--dir", default="/tmp/trace_stream")
     ap.add_argument("--quant", default=None)
+    ap.add_argument("--stem_impl", default="oct")
     args = ap.parse_args()
     in_size = (args.h, args.w)
 
@@ -38,7 +39,7 @@ def main():
     cfg = tdnet_config(args.model, in_size=in_size, streaming=True)
     params = init_tdnet(jax.random.PRNGKey(0), cfg)
     streamer = Streamer(params, cfg, dtype=jnp.bfloat16, attn_impl="pallas",
-                        quant=args.quant)
+                        stem_impl=args.stem_impl, quant=args.quant)
     imgs = _load_frames(in_size, jnp.bfloat16)
     streamer.warm_compile(imgs[0])
     stream = [imgs[i % len(imgs)] for i in range(args.frames)]

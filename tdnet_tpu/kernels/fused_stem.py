@@ -11,11 +11,26 @@ HBM, then reduce_window reads 33 MB again).
 
 This kernel computes the whole tail — conv1 (3x3, 64->64) + folded
 eval-BN + ReLU, conv2 (3x3, 64->128) + folded eval-BN + ReLU, and the
-3x3/stride-2/pad-1 max-pool — in one pass per (row-block, col-tile):
-the conv0 output block is DMA'd into VMEM once (with conv/pool halos),
-both convs run as dx-im2col'd K=192 MXU matmuls with f32 accumulation,
-and only the POOLED [8, 132, 128] block is written back. The
-intermediate activations never touch HBM.
+3x3/stride-2/pad-1 max-pool — in one VMEM pass per full-width row band
+(BR pooled rows): the conv0 output band is DMA'd into VMEM once
+(double-buffered across grid steps so the fetch of band i+1 overlaps
+band i's compute), both convs run as per-(dy,dx)-tap MXU matmuls, and
+only the POOLED [BR, Wp, 128] band is written back. The intermediate
+activations never touch HBM.
+
+Mosaic-dictated structure (v5e, learned by measurement — docs/PERF.md):
+- dy (row) shifts live on the untiled leading dim, so the per-dy
+  operands share flat (row, col) indexing and partial sums ADD in 2-D
+  matmul form with no layout movement. dx (column) shifts are applied
+  to the matmul OUTPUTS as offset column slices — elementwise-add
+  relayouts handle sublane offsets cheaply, whereas concatenating
+  dx-shifted INPUTS (classic im2col) fails to lower (offset-mismatched
+  concat) or relayouts at ~5x the matmul cost.
+- The conv0 input is lane-padded to 128 channels host-side: HBM block
+  fetches need a tile-aligned minor dim. Weight rows 64..127 are zero.
+- Strided slices lower to gathers (unsupported); the pool uses
+  reshape-pair maxes on the leading dim and a (pcw, 2)-split reshape
+  on the sublane dim.
 
 Numerics match the unfused eval path to float-sum order: the conv
 accumulator is rounded to the storage dtype before the BN affine (the
@@ -37,13 +52,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# pooled-output tile: BR rows x PC cols per kernel invocation
+# pooled-output rows per grid step (band height)
 BR = 8
-PC = 132
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,92 +64,105 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_stem_kernel(xp_ref, w1_ref, w2_ref, sb1_ref, sb2_ref, o_ref,
-                       xb, sem, *, H: int, W: int, xw: int, dtype):
-    """Grid (row_block i, col_tile j).
+                       xb, sem, *, H: int, W: int, xw: int, pcw: int,
+                       nbr: int, dtype):
+    """Grid (row_band i,). Full-width bands; double-buffered input DMA.
 
-    xp_ref: ANY/HBM padded conv0 output [Hp, Wp, 64] (3 top / 3 left
-    pad so every block's halo read is in range).
-    w1_ref: [3, 192, 64]   dy-indexed dx-im2col'd conv1 weights (VMEM)
-    w2_ref: [3, 192, 128]  same for conv2
+    xp_ref: ANY/HBM padded conv0 output [hp, xw, 128] (3 top / 3 left
+    pad; 64 zero pad lanes).
+    w1_ref: [9, 128, 64]  tap (dy*3+dx)-indexed conv1 weights (VMEM)
+    w2_ref: [9, 64, 128]  same for conv2
     sb1_ref/sb2_ref: [2, 1, C] folded eval-BN (scale; bias) f32
-    o_ref: pooled output block [BR, PC, 128]
-    xb: VMEM scratch [2*BR+5, xw, 64] (conv0 rows incl. halos)
+    o_ref: pooled output band [BR, pcw, 128]
+    xb: VMEM scratch [2, 2*BR+5, xw, 128] (conv0 band incl. halos,
+    two DMA slots); sem: [2] DMA semaphores.
     """
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    rows1 = 2 * BR + 3            # conv1 output rows this block
-    rows2 = 2 * BR + 1            # conv2 output rows this block
+    rows1 = 2 * BR + 3            # conv1 output rows this band
+    rows2 = 2 * BR + 1            # conv2 output rows this band
     rowsx = 2 * BR + 5            # conv0 rows fetched (conv1 halo)
-    c1w = 2 * PC + 3              # conv1 cols consumed by conv2+pool
-    c2w = 2 * PC + 1              # conv2 cols consumed by the pool
 
-    dma = pltpu.make_async_copy(
-        xp_ref.at[pl.ds(i * 2 * BR, rowsx), pl.ds(j * 2 * PC, xw)],
-        xb, sem)
-    dma.start()
-    dma.wait()
+    def fetch(band, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(band * 2 * BR, rowsx)], xb.at[slot],
+            sem.at[slot])
 
-    # ---- conv1: dx-im2col (K = 3*64) then one matmul per dy ----------
-    x = xb[:]                                          # [rowsx, xw, 64]
-    xcol = jnp.concatenate(
-        [x[:, 0:xw - 2], x[:, 1:xw - 1], x[:, 2:xw]], axis=-1)
-    acc = None
-    for dy in range(3):
-        lhs = xcol[dy:dy + rows1].reshape(rows1 * (xw - 2), 192)
-        t = jax.lax.dot_general(lhs, w1_ref[dy], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        acc = t if acc is None else acc + t
-    c1 = acc.reshape(rows1, xw - 2, 64)
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        fetch(0, 0).start()
+
+    fetch(i, slot).wait()
+
+    @pl.when(i + 1 < nbr)
+    def _():
+        fetch(i + 1, 1 - slot).start()
+
+    x = xb[slot]                                       # [rowsx, xw, 128]
+
+    # ---- conv1: 9 per-tap matmuls, dy summed flat, dx on outputs -----
+    c1 = None
+    for dx in range(3):
+        acc = None
+        for dy in range(3):
+            lhs = x[dy:dy + rows1].reshape(rows1 * xw, 128)
+            t = jax.lax.dot_general(
+                lhs, w1_ref[dy * 3 + dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+        p = acc.reshape(rows1, xw, 64)[:, dx:dx + xw - 2]
+        c1 = p if c1 is None else c1 + p
     # storage-dtype rounding between conv and BN (XLA-path dataflow)
     c1 = c1.astype(dtype).astype(jnp.float32)
     c1 = c1 * sb1_ref[0] + sb1_ref[1]
     c1 = jnp.maximum(c1.astype(dtype), 0)
     # zero rows/cols outside the valid conv1 activation (this IS
     # conv2's zero padding)
-    g1r = jax.lax.broadcasted_iota(jnp.int32, (rows1, xw - 2), 0) \
+    g1r = jax.lax.broadcasted_iota(jnp.int32, (rows1, xw - 2, 1), 0) \
         + i * 2 * BR - 2
-    g1c = jax.lax.broadcasted_iota(jnp.int32, (rows1, xw - 2), 1) \
-        + j * 2 * PC - 2
-    ok1 = ((g1r >= 0) & (g1r < H) & (g1c >= 0) & (g1c < W))[..., None]
+    g1c = jax.lax.broadcasted_iota(jnp.int32, (rows1, xw - 2, 1), 1) - 2
+    ok1 = (g1r >= 0) & (g1r < H) & (g1c >= 0) & (g1c < W)
     c1 = jnp.where(ok1, c1, 0).astype(dtype)
 
-    # ---- conv2 ------------------------------------------------------
-    ccol = jnp.concatenate(
-        [c1[:, 0:xw - 4], c1[:, 1:xw - 3], c1[:, 2:xw - 2]], axis=-1)
-    acc = None
-    for dy in range(3):
-        lhs = ccol[dy:dy + rows2].reshape(rows2 * (xw - 4), 192)
-        t = jax.lax.dot_general(lhs, w2_ref[dy], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        acc = t if acc is None else acc + t
-    c2 = acc.reshape(rows2, xw - 4, 128)
+    # ---- conv2 (same scheme, K=64) -----------------------------------
+    c2 = None
+    for dx in range(3):
+        acc = None
+        for dy in range(3):
+            lhs = c1[dy:dy + rows2].reshape(rows2 * (xw - 2), 64)
+            t = jax.lax.dot_general(
+                lhs, w2_ref[dy * 3 + dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+        p = acc.reshape(rows2, xw - 2, 128)[:, dx:dx + xw - 4]
+        c2 = p if c2 is None else c2 + p
     c2 = c2.astype(dtype).astype(jnp.float32)
     c2 = c2 * sb2_ref[0] + sb2_ref[1]
     c2 = jnp.maximum(c2.astype(dtype), 0)
     # pool padding: -1 outside the valid conv2 activation (values >= 0)
-    g2r = jax.lax.broadcasted_iota(jnp.int32, (rows2, xw - 4), 0) \
+    g2r = jax.lax.broadcasted_iota(jnp.int32, (rows2, xw - 4, 1), 0) \
         + i * 2 * BR - 1
-    g2c = jax.lax.broadcasted_iota(jnp.int32, (rows2, xw - 4), 1) \
-        + j * 2 * PC - 1
-    ok2 = ((g2r >= 0) & (g2r < H) & (g2c >= 0) & (g2c < W))[..., None]
+    g2c = jax.lax.broadcasted_iota(jnp.int32, (rows2, xw - 4, 1), 1) - 1
+    ok2 = (g2r >= 0) & (g2r < H) & (g2c >= 0) & (g2c < W)
     c2 = jnp.where(ok2, c2, -1).astype(dtype)
 
     # ---- maxpool 3x3 / stride 2 / pad 1 ------------------------------
-    # rows: out q pools c2 rows 2q..2q+2 (local)
-    r0 = lax.slice(c2, (0, 0, 0), (rows2 - 1, c2w, 128), (2, 1, 1))
-    r1 = lax.slice(c2, (1, 0, 0), (rows2, c2w, 128), (2, 1, 1))
-    r2 = lax.slice(c2, (2, 0, 0), (rows2, c2w, 128), (2, 1, 1))
-    rm = jnp.maximum(jnp.maximum(r0, r1), r2)          # [BR, c2w, 128]
-    # cols: out c pools rm cols 2c..2c+2
-    ev = rm[:, 0:2 * PC].reshape(BR, PC, 2, 128)
-    c01 = jnp.maximum(ev[:, :, 0], ev[:, :, 1])
-    e2 = rm[:, 2:2 * PC + 1:2]                          # cols 2,4,..,2PC
-    o_ref[:] = jnp.maximum(c01, e2).astype(o_ref.dtype)
+    # Strided slices lower to gathers (unsupported); rows (leading dim)
+    # pool as pairs (2q,2q+1) and (2q+1,2q+2) via two unit-offset
+    # reshapes; cols use the same pair trick on the sublane dim.
+    cw = xw - 4                                         # c2 column count
+    ra = jnp.max(c2[0:rows2 - 1].reshape(BR, 2, cw, 128), axis=1)
+    rb = jnp.max(c2[1:rows2].reshape(BR, 2, cw, 128), axis=1)
+    rm = jnp.maximum(ra, rb)                            # [BR, cw, 128]
+    ca = jnp.max(rm[:, 0:2 * pcw].reshape(BR, pcw, 2, 128), axis=2)
+    cb = jnp.max(rm[:, 1:2 * pcw + 1].reshape(BR, pcw, 2, 128), axis=2)
+    o_ref[:] = jnp.maximum(ca, cb).astype(o_ref.dtype)
 
 
 def fused_stem_tail(x: jnp.ndarray, w1: jnp.ndarray, sb1: jnp.ndarray,
                     w2: jnp.ndarray, sb2: jnp.ndarray,
-                    *, interpret: bool = False) -> jnp.ndarray:
+                    *, interpret: bool | None = None) -> jnp.ndarray:
     """conv1+BN+ReLU -> conv2+BN+ReLU -> maxpool(3,2,1), fused.
 
     x: [n, H, W, 64] conv0 output AFTER its BN+ReLU (any float dtype).
@@ -144,54 +170,58 @@ def fused_stem_tail(x: jnp.ndarray, w1: jnp.ndarray, sb1: jnp.ndarray,
     sb1/sb2: [2, C] f32 folded eval-BN (row 0 scale, row 1 bias).
     Returns [n, (H+1)//2, (W+1)//2, 128] in x.dtype.
     """
+    if interpret is None:  # Mosaic lowering is TPU-only
+        interpret = jax.default_backend() != "tpu"
     n, H, W, ci = x.shape
     assert ci == 64 and w1.shape == (3, 3, 64, 64) \
         and w2.shape == (3, 3, 64, 128)
     Hp, Wp = (H + 1) // 2, (W + 1) // 2            # pooled geometry
     nbr = -(-Hp // BR)
-    nbc = -(-Wp // PC)
-    xw = _round_up(2 * PC + 5, 8)
+    pcw = _round_up(Wp, 8)                         # full-width col band
+    xw = _round_up(2 * pcw + 5, 8)
     # pad: 3 halo rows/cols at the top/left; bottom/right up to the last
-    # block's reach (values there are masked in-kernel, zeros are safe)
+    # band's reach; lanes to the 128 tile (values there are masked
+    # in-kernel, zeros are safe)
     hp = 2 * BR * (nbr - 1) + 2 * BR + 5
-    wp = _round_up(2 * PC * (nbc - 1) + xw, 8)
 
-    w1p = jnp.transpose(w1, (0, 1, 2, 3)).reshape(3, 3 * 64, 64)
-    w2p = jnp.transpose(w2, (0, 1, 2, 3)).reshape(3, 3 * 64, 128)
-    # im2col lane order is (dx, cin): w[dy, dx, c, :] -> row dx*64+c  ✓
+    # tap-indexed (dy*3+dx) weights. conv1's input is lane-padded to 128
+    # channels, so its K rows 64..127 are zeros.
+    w1p = jnp.pad(w1, ((0, 0), (0, 0), (0, 64), (0, 0))).reshape(9, 128, 64)
+    w2p = w2.reshape(9, 64, 128)
     sb1 = sb1.astype(jnp.float32).reshape(2, 1, 64)
     sb2 = sb2.astype(jnp.float32).reshape(2, 1, 128)
 
     kern = functools.partial(_fused_stem_kernel, H=H, W=W, xw=xw,
-                             dtype=x.dtype)
+                             pcw=pcw, nbr=nbr, dtype=x.dtype)
 
     def one(img):
-        xp = jnp.pad(img, ((3, hp - H - 3), (3, wp - W - 3), (0, 0)))
+        xp = jnp.pad(img, ((3, hp - H - 3), (3, xw - W - 3), (0, 64)))
         out = pl.pallas_call(
             kern,
-            grid=(nbr, nbc),
+            grid=(nbr,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((3, 192, 64), lambda i, j: (0, 0, 0),
+                pl.BlockSpec((9, 128, 64), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, 192, 128), lambda i, j: (0, 0, 0),
+                pl.BlockSpec((9, 64, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 1, 64), lambda i, j: (0, 0, 0),
+                pl.BlockSpec((2, 1, 64), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 1, 128), lambda i, j: (0, 0, 0),
+                pl.BlockSpec((2, 1, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((BR, PC, 128), lambda i, j: (i, j, 0),
+            out_specs=pl.BlockSpec((BR, pcw, 128), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nbr * BR, nbc * PC, 128),
-                                           x.dtype),
+            out_shape=jax.ShapeDtypeStruct((nbr * BR, pcw, 128), x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((2 * BR + 5, xw, 64), x.dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 2 * BR + 5, xw, 128), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=2 * H * W * (9 * 64 * 64 + 9 * 64 * 128),
-                bytes_accessed=(hp * wp * 64 + Hp * Wp * 128)
+                bytes_accessed=(hp * xw * 128 + Hp * Wp * 128)
                 * x.dtype.itemsize,
                 transcendentals=0,
             ),
