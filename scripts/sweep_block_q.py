@@ -48,7 +48,7 @@ def measure(model, in_size, block_q, fc_fused, n_frames=50):
         cfg = tdnet_config(model, in_size=in_size, streaming=True)
         params = init_tdnet(jax.random.PRNGKey(0), cfg)
         streamer = Streamer(params, cfg, dtype=jnp.bfloat16,
-                            attn_impl="pallas", stem_impl="fused")
+                            attn_impl="pallas", stem_impl="oct")
         imgs = _load_frames(in_size, jnp.bfloat16)
         streamer.warm_compile(imgs[0])
         stream = [imgs[i % len(imgs)] for i in range(n_frames)]

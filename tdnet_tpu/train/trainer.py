@@ -136,10 +136,11 @@ def make_loss_of(cfg: TDNetConfig, *,
         # dryrun) keep the XLA formulation. Same math, float-sum order
         # apart; dropout RNG streams are impl-defined (docs/PARITY.md).
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    # the frozen teacher runs in eval mode, so its deep-base stem can take
-    # the fused Pallas tail (kernels/fused_stem.py; float-sum order only).
-    # Mosaic/TPU-only, same backend gate as attn_impl.
-    teacher_stem = "fused" if jax.default_backend() == "tpu" else "xla"
+    # the frozen teacher runs in eval mode; "xla" measured fastest for its
+    # deep-base stem (the Pallas fused tail was tried and rejected — 2.4x
+    # slower than XLA's fusions plus a Mosaic compile-time blowup at
+    # deployment widths; docs/PERF.md rejected table).
+    teacher_stem = "xla"
 
     fwd = model_clip_forward(cfg)
 
