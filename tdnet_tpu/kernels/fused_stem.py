@@ -200,7 +200,7 @@ def fused_stem_tail(x: jnp.ndarray, w1: jnp.ndarray, sb1: jnp.ndarray,
             kern,
             grid=(nbr,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((9, 128, 64), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((9, 64, 128), lambda i: (0, 0, 0),
