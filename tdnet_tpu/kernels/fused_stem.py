@@ -236,6 +236,8 @@ def fold_bn_eval(bn: dict, eps: float = 1e-5) -> jnp.ndarray:
     """Eval-mode BN as a [2, C] f32 (scale; bias) pair:
     y = x * s + b with s = scale*rsqrt(var+eps), b = bias - mean*s —
     exactly ops/norm.py:batch_norm eval arithmetic."""
+    if "fscale" in bn:  # already pre-folded (ops/norm.py:fold_bn_eval)
+        return jnp.stack([bn["fscale"], bn["fbias"]])
     mean = bn["mean"].astype(jnp.float32)
     var = bn["var"].astype(jnp.float32)
     s = jax.lax.rsqrt(var + eps) * bn["scale"].astype(jnp.float32)

@@ -211,6 +211,17 @@ def batch_norm(x: jnp.ndarray, params: dict, *, train: bool = False,
             y = y + residual
         return _apply_act(y, activation), new_stats
 
+    if "fscale" in params:
+        # pre-folded eval affine (fold_bn_eval): the per-frame
+        # rsqrt(var+eps)*scale / bias-mean*inv [C]-vector chains are
+        # computed ONCE at streamer construction instead of inside every
+        # jitted frame step. Same f32 affine math, distributed over the
+        # subtraction (x*a + (b - m*a) vs (x - m)*a + b — float-order
+        # class difference only).
+        y = (x.astype(cdt) * params["fscale"] + params["fbias"]).astype(x.dtype)
+        if residual is not None:
+            y = y + residual
+        return _apply_act(y, activation)
     mean = params["mean"].astype(cdt)
     var = params["var"].astype(cdt)
     inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(cdt)
@@ -218,6 +229,40 @@ def batch_norm(x: jnp.ndarray, params: dict, *, train: bool = False,
     if residual is not None:
         y = y + residual
     return _apply_act(y, activation)
+
+
+def fold_bn_eval(tree, eps: float = 1e-5):
+    """Pre-fold every BatchNorm in a params pytree for eval-mode use.
+
+    Any dict carrying exactly the BN keys {scale, bias, mean, var} with
+    equal shapes (LayerNorm2d carries only scale/bias and never matches;
+    a stacked-path tree's [P, C] leaves fold elementwise) is replaced by
+    {fscale, fbias} f32 with
+    ``fscale = scale * rsqrt(var + eps)`` and
+    ``fbias = bias - mean * fscale``, exactly the coefficients the eval
+    branch of ``batch_norm`` derives per call. Inference-only: a folded
+    tree has no running stats, so ``train=True`` paths must never see it
+    (``batch_norm`` would KeyError on "mean" — loudly, by design).
+    """
+    bn_keys = {"scale", "bias", "mean", "var"}
+
+    def walk(node):
+        if isinstance(node, dict):
+            if (set(node.keys()) == bn_keys
+                    and all(hasattr(v, "shape") for v in node.values())
+                    and len({v.shape for v in node.values()}) == 1):
+                fscale = (node["scale"].astype(jnp.float32)
+                          * jax.lax.rsqrt(node["var"].astype(jnp.float32)
+                                          + eps))
+                fbias = (node["bias"].astype(jnp.float32)
+                         - node["mean"].astype(jnp.float32) * fscale)
+                return {"fscale": fscale, "fbias": fbias}
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(tree)
 
 
 def init_layer_norm_2d(h: int, w: int, dtype=jnp.float32):

@@ -61,7 +61,7 @@ class Streamer:
                  dtype=jnp.float32, attn_impl: str = "xla",
                  stem_impl: str = "oct", fused_trunk: bool = True,
                  donate_cache: bool = True, quant: str | None = None,
-                 ablate_prop: bool = False):
+                 ablate_prop: bool = False, fold_bn: bool = True):
         self.cfg = cfg
         self.dtype = dtype
         self._stream_step = model_stream_step(cfg)
@@ -70,6 +70,14 @@ class Streamer:
             params = jax.tree.map(lambda x: x.astype(dtype)
                                   if jnp.issubdtype(x.dtype, jnp.floating) else x,
                                   params)
+        if fold_bn:
+            # pre-fold every BN's eval affine once at construction — the
+            # per-frame [C]-vector rsqrt/mul/sub chains (one per BN, ~50
+            # per step) leave the jitted graph (ops/norm.py:fold_bn_eval;
+            # float-order-class change only, fold computed in f32 from
+            # the post-cast stats exactly like the per-frame path).
+            from tdnet_tpu.ops import fold_bn_eval
+            params = fold_bn_eval(params)
         self.path_params = [
             jax.device_put(select_path(params["paths"], p))
             for p in range(cfg.path_num)]
